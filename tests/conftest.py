@@ -1,0 +1,18 @@
+"""Test configuration: force a hermetic 8-device virtual CPU mesh.
+
+The container's sitecustomize registers the axon TPU plugin and forces
+``jax_platforms=axon`` programmatically (so the JAX_PLATFORMS env var alone is
+not enough). Tests override it back to CPU before any backend initialization.
+Multi-chip sharding is exercised on the virtual CPU mesh; benchmarks run
+separately on real TPU hardware via bench.py.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
