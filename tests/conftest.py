@@ -16,3 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the limb/EC kernels are compile-heavy; reuse
+# compiled artifacts across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,552 @@
+"""The nine step circuits: constraints + IVC state-chain computation.
+
+Each transformation is an IVC step relation R(z_i, ext_i, z_{i+1}) processing
+one image row (or block / row-batch) per step. The circuits reproduce the
+step *semantics* of the reference (both frontends agree on them:
+circuits/src/*.circom and vimz/src/sonobe_backend/circuits/arkworks/
+transformations/), with constraint layouts designed fresh for this framework
+— notably crop's subrow extraction is a log-depth barrel shifter
+(~O(W log W) constraints) instead of the reference's one-hot shift matrix
+(O(W_out * W) products, crop.rs:99-137 / MultiplexerCrop), and all hashing
+uses the oracle-verified circomlib window-fold profile.
+
+The IVC state layouts match vimz/src/transformation.rs:25-49:
+
+- hash:                 [acc]
+- grayscale/redact/resize: [src_hash, tgt_hash]
+- brightness/contrast:  [src_hash, tgt_hash, factor*10]
+- crop:                 [src_hash, tgt_hash, info], info = x<<24 | y<<12 | row
+- blur/sharpness:       [src_hash, tgt_hash, fold(row_i+1), fold(row_i+2)]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from vimz_tpu.fields.limbs import FR_LIMBS
+from vimz_tpu.fields.prime import P_FR as P
+from vimz_tpu.pipeline.input import Resolution, Transformation, VIMzInput, prepare_step_inputs
+from vimz_tpu.r1cs.builder import LC, Builder, R1CS
+from vimz_tpu.r1cs.gadgets import (
+    VLC,
+    abs_diff,
+    enforce_bool,
+    enforce_le_const,
+    head_tail_hash,
+    is_zero,
+    mul,
+    poseidon_hash,
+    saturating_sub,
+    select,
+    to_bits,
+    valloc,
+    vconst,
+    vmax,
+    vmin,
+    vsum,
+    window_fold_hash,
+    word_to_gray_values,
+    word_to_pixels,
+)
+
+CROP_WIDTH = 640
+CROP_HEIGHT = 480
+
+
+# ----------------------------------------------------------------------
+# Host-side chain computation (batched, device-accelerated)
+# ----------------------------------------------------------------------
+
+
+def _hasher():
+    from vimz_tpu.commit.image_hash import _hasher as h
+
+    return h()
+
+
+def _words_to_mont(words: np.ndarray):
+    """(S, L) object ints -> (S, L, 16) Montgomery limbs."""
+    f = FR_LIMBS
+    return f.to_mont(jnp.asarray(f.to_limbs(words)))
+
+
+def _ints(limbs) -> np.ndarray:
+    return FR_LIMBS.from_limbs_mont(np.asarray(limbs))
+
+
+def _row_chain(words: np.ndarray) -> np.ndarray:
+    """(S, L) packed words -> (S+1,) running-hash chain (object ints)."""
+    return _ints(_hasher().chain_circom(_words_to_mont(words)))
+
+
+def _row_folds(words: np.ndarray) -> np.ndarray:
+    """(S, L) packed words -> (S,) window-fold hashes (object ints)."""
+    return _ints(_hasher().array_hash_circom(_words_to_mont(words)))
+
+
+def _fold_chain_from_hashes(hashes: list[int], mask=None) -> np.ndarray:
+    """P2-fold chain from precomputed chunk hashes (with optional skip mask)."""
+    from vimz_tpu.poseidon.pyref import circom_poseidon
+
+    accs = [0]
+    for i, h in enumerate(hashes):
+        if mask is not None and not mask[i]:
+            accs.append(accs[-1])
+        else:
+            accs.append(circom_poseidon([accs[-1], int(h)]))
+    return np.array(accs, dtype=object)
+
+
+@lru_cache(maxsize=None)
+def redacted_block_hash(n_words: int = 160) -> int:
+    from vimz_tpu.poseidon.pyref import circom_array_hash
+
+    return circom_array_hash([0] * n_words)
+
+
+# ----------------------------------------------------------------------
+# Circuit registry
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class StepCircuit:
+    transformation: Transformation
+    state_len: int
+    build: Callable  # (b, z: list[VLC], ext: list[VLC], ctx: dict) -> list[VLC]
+    compute_chain: Callable  # (inp, resolution, steps, ctx) -> (S+1, state_len) object
+
+
+CIRCUITS: dict[Transformation, StepCircuit] = {}
+
+
+def _register(t: Transformation, state_len: int):
+    def deco(fns):
+        build, chain = fns
+        CIRCUITS[t] = StepCircuit(t, state_len, build, chain)
+        return fns
+
+    return deco
+
+
+def _split(ext: list[VLC], *sizes: int) -> list[list[VLC]]:
+    out, pos = [], 0
+    for s in sizes:
+        out.append(ext[pos : pos + s])
+        pos += s
+    assert pos == len(ext)
+    return out
+
+
+def _decompress_row_pixels(b, words: list[VLC]):
+    """Row of packed words -> flat list of (r, g, b) pixel triples."""
+    px = []
+    for w in words:
+        px.extend(word_to_pixels(b, w))
+    return px
+
+
+# -- hash ---------------------------------------------------------------
+
+
+def _hash_build(b, z, ext, ctx):
+    return [head_tail_hash(b, z[0], ext)]
+
+
+def _hash_chain(inp, resolution, steps, ctx):
+    words = inp.original[:steps] if steps else inp.original
+    chain = _row_chain(words)
+    return chain.reshape(-1, 1)
+
+
+_register(Transformation.HASH, 1)((_hash_build, _hash_chain))
+
+
+# -- grayscale ----------------------------------------------------------
+
+
+def _grayscale_build(b, z, ext, ctx):
+    w = len(ext) // 2
+    orig, gray = _split(ext, w, w)
+    src_px = _decompress_row_pixels(b, orig)
+    gray_vals = []
+    for word in gray:
+        gray_vals.extend(word_to_gray_values(b, word))
+    for (r, g, bl), tv in zip(src_px, gray_vals):
+        # |299r + 587g + 114b - 1000*t| <= 1000 (grayscale.rs:16-49)
+        lum = r.scale(299) + g.scale(587) + bl.scale(114)
+        d = abs_diff(b, lum, tv.scale(1000), 18)
+        enforce_le_const(b, d, 1000, 18)
+    return [head_tail_hash(b, z[0], orig), head_tail_hash(b, z[1], gray)]
+
+
+def _two_chain(inp, steps):
+    orig = inp.original[:steps] if steps else inp.original
+    tran = inp.transformed[:steps] if steps else inp.transformed
+    return np.stack([_row_chain(orig), _row_chain(tran)], axis=1)
+
+
+def _grayscale_chain(inp, resolution, steps, ctx):
+    return _two_chain(inp, steps)
+
+
+_register(Transformation.GRAYSCALE, 2)((_grayscale_build, _grayscale_chain))
+
+
+# -- brightness ---------------------------------------------------------
+
+
+def _brightness_build(b, z, ext, ctx):
+    w = len(ext) // 2
+    orig, tran = _split(ext, w, w)
+    factor = z[2]
+    to_bits(b, factor, 5)  # factor in [0, 31]
+    src_px = _decompress_row_pixels(b, orig)
+    tgt_px = _decompress_row_pixels(b, tran)
+    for sp, tp in zip(src_px, tgt_px):
+        for c in range(3):
+            scaled = mul(b, sp[c], factor)  # 13 bits
+            actual = vmin(b, scaled, vconst(b, 2550), 13)
+            d = abs_diff(b, actual, tp[c].scale(10), 12)
+            enforce_le_const(b, d, 10, 12)
+    return [head_tail_hash(b, z[0], orig), head_tail_hash(b, z[1], tran), factor]
+
+
+def _factor_chain(inp, resolution, steps, ctx):
+    two = _two_chain(inp, steps)
+    info = np.full((two.shape[0], 1), inp.extra_scalar(), dtype=object)
+    return np.concatenate([two, info], axis=1)
+
+
+_register(Transformation.BRIGHTNESS, 3)((_brightness_build, _factor_chain))
+
+
+# -- contrast -----------------------------------------------------------
+
+
+def _contrast_build(b, z, ext, ctx):
+    w = len(ext) // 2
+    orig, tran = _split(ext, w, w)
+    factor = z[2]
+    to_bits(b, factor, 5)
+    src_px = _decompress_row_pixels(b, orig)
+    tgt_px = _decompress_row_pixels(b, tran)
+    factor_mean = factor.scale(128)
+    for sp, tp in zip(src_px, tgt_px):
+        for c in range(3):
+            # (p-128)*f + 1280 clipped to [0, 2550], tolerance 10 (contrast.rs)
+            a = mul(b, sp[c], factor).add_const(1280)
+            bb = saturating_sub(b, a, factor_mean, 14)
+            contrasted = vmin(b, bb, vconst(b, 2550), 13)
+            d = abs_diff(b, contrasted, tp[c].scale(10), 13)
+            enforce_le_const(b, d, 10, 13)
+    return [head_tail_hash(b, z[0], orig), head_tail_hash(b, z[1], tran), factor]
+
+
+_register(Transformation.CONTRAST, 3)((_contrast_build, _factor_chain))
+
+
+# -- blur / sharpness ---------------------------------------------------
+
+
+def _conv_build(kernel, k_scale, tolerance, shift):
+    """Shared 3x3-convolution circuit builder.
+
+    kernel: 3x3 ints; if shift is None: |conv - k_scale*t| <= tolerance
+    (blur); else: clip(conv+shift to [shift, shift+255]) == t + shift
+    (sharpness).
+    """
+
+    def build(b, z, ext, ctx):
+        w = len(ext) // 4
+        r0, r1, r2, tran = _split(ext, w, w, w, w)
+        rows_px = [_decompress_row_pixels(b, r) for r in (r0, r1, r2)]
+        tgt_px = _decompress_row_pixels(b, tran)
+        zero = vconst(b, 0)
+        padded = [[ (zero, zero, zero) ] + row + [ (zero, zero, zero) ] for row in rows_px]
+
+        for i, tp in enumerate(tgt_px):
+            for c in range(3):
+                conv = vconst(b, 0)
+                for kr in range(3):
+                    for kc in range(3):
+                        kv = kernel[kr][kc]
+                        if kv:
+                            term = padded[kr][i + kc][c]
+                            conv = conv + term.scale(kv)
+                if shift is None:
+                    d = abs_diff(b, conv, tp[c].scale(k_scale), 12)
+                    enforce_le_const(b, d, tolerance, 12)
+                else:
+                    adjusted = conv.add_const(shift)
+                    up = vmin(b, adjusted, vconst(b, shift + 255), 11)
+                    trimmed = vmax(b, up, vconst(b, shift), 11)
+                    b.enforce_equal(trimmed.lc, (tp[c].add_const(shift)).lc)
+
+        # state update (IVCStateConvolution semantics, ivc_state.rs:91-146)
+        src_next = head_tail_hash(b, z[0], r1)  # middle row feeds source hash
+        tgt_next = head_tail_hash(b, z[1], tran)
+        folds = [window_fold_hash(b, r) for r in (r0, r1, r2)]
+        for old, new in zip((z[2], z[3]), folds[:2]):
+            nz = is_zero(b, old)
+            # (old - new) * (1 - is_zero(old)) == 0
+            b.enforce(old.lc - new.lc, LC.const(1) - nz.lc, LC())
+        return [src_next, tgt_next, folds[1], folds[2]]
+
+    return build
+
+
+def _conv_chain(inp, resolution, steps, ctx):
+    n_rows = len(inp.transformed)
+    S = min(steps, n_rows) if steps else n_rows
+    padded = inp.original  # includes zero rows top/bottom
+    folds = _row_folds(padded)
+    src_chain = _fold_chain_from_hashes(folds[1 : 1 + S])
+    tgt_chain = _row_chain(inp.transformed[:S])
+    z = np.zeros((S + 1, 4), dtype=object)
+    z[:, 0] = src_chain
+    z[:, 1] = tgt_chain
+    for i in range(1, S + 1):
+        z[i, 2] = folds[i]
+        z[i, 3] = folds[i + 1]
+    return z
+
+
+BLUR_KERNEL = ((1, 1, 1), (1, 1, 1), (1, 1, 1))
+SHARP_KERNEL = ((0, -1, 0), (-1, 5, -1), (0, -1, 0))
+
+_register(Transformation.BLUR, 4)((_conv_build(BLUR_KERNEL, 9, 9, None), _conv_chain))
+_register(Transformation.SHARPNESS, 4)((_conv_build(SHARP_KERNEL, 1, 0, 765), _conv_chain))
+
+
+# -- crop ---------------------------------------------------------------
+
+
+def _crop_build(b, z, ext, ctx):
+    out_words = ctx.get("crop_out_words", CROP_WIDTH // 10)
+    crop_height = ctx.get("crop_height", CROP_HEIGHT)
+    w = len(ext)
+    n_vals = 10 * w
+
+    # decode info = col*2^24 + row*2^12 + cur (crop.rs:63-101)
+    info = z[2]
+    cur_v = info.vals % (1 << 12)
+    row_v = (info.vals >> 12) % (1 << 12)
+    col_v = (info.vals >> 24) % (1 << 12)
+    cur = valloc(b, cur_v)
+    row = valloc(b, row_v)
+    col = valloc(b, col_v)
+    to_bits(b, cur, 12)
+    to_bits(b, row, 12)
+    col_bits = to_bits(b, col, 12)
+    b.enforce_equal(
+        (col.scale(1 << 24) + row.scale(1 << 12) + cur).lc, info.lc
+    )
+
+    # unpack row into 24-bit pixel values
+    vals = []
+    for word in ext:
+        vals.extend(word_to_gray_values(b, word))
+
+    # barrel shifter: shift vals left by `col` (log-depth; replaces the
+    # reference's O(W_out*W) one-hot shift matrix)
+    n_stages = max(1, (n_vals - 1).bit_length())
+    cur_row = vals
+    for k in range(n_stages):
+        bit = col_bits[k]
+        nxt = []
+        for j in range(n_vals):
+            shifted = cur_row[j + (1 << k)] if j + (1 << k) < n_vals else vconst(b, 0)
+            nxt.append(select(b, bit, shifted, cur_row[j]))
+        cur_row = nxt
+    # any higher bit of col must be zero to keep the shift semantics exact
+    for k in range(n_stages, 12):
+        b.enforce_zero(col_bits[k].lc)
+
+    subrow_vals = cur_row[: out_words * 10]
+    subrow_words = [
+        vsum(subrow_vals[10 * i + j].scale(1 << (24 * j)) for j in range(10))
+        for i in range(out_words)
+    ]
+
+    # within crop area: row <= cur <= row + crop_height - 1 (crop.rs:141-168)
+    from vimz_tpu.r1cs.gadgets import le
+
+    after = le(b, row, cur, 12)
+    before = le(b, cur, row.add_const(crop_height - 1), 12)
+    within = mul(b, after, before)
+
+    src_next = head_tail_hash(b, z[0], ext)
+    tgt_if = poseidon_hash(b, [z[1], window_fold_hash(b, subrow_words)])
+    tgt_next = select(b, within, tgt_if, z[1])
+    info_next = col.scale(1 << 24) + row.scale(1 << 12) + cur.add_const(1)
+    return [src_next, tgt_next, info_next]
+
+
+def _crop_chain(inp, resolution, steps, ctx):
+    orig = inp.original[:steps] if steps else inp.original
+    S = orig.shape[0]
+    info0 = inp.extra_scalar()
+    col = (info0 >> 24) % (1 << 12)
+    row = (info0 >> 12) % (1 << 12)
+    out_words = (ctx or {}).get("crop_out_words", CROP_WIDTH // 10)
+    crop_height = (ctx or {}).get("crop_height", CROP_HEIGHT)
+
+    src_chain = _row_chain(orig)
+
+    # build subrow words per step and the conditional target chain
+    n_vals = 10 * orig.shape[1]
+    vals = np.zeros((S, n_vals), dtype=object)
+    for j in range(orig.shape[1]):
+        w = orig[:, j]
+        for k in range(10):
+            vals[:, 10 * j + k] = (w >> (24 * k)) & ((1 << 24) - 1)
+    sub = np.zeros((S, out_words), dtype=object)
+    for i in range(out_words):
+        acc = np.zeros(S, dtype=object)
+        for j in range(10):
+            idx = col + 10 * i + j
+            v = vals[:, idx] if idx < n_vals else 0
+            acc = acc + (v << (24 * j))
+        sub[:, i] = acc
+    sub_folds = _row_folds(sub)
+    mask = [row <= i <= row + crop_height - 1 for i in range(S)]
+    tgt_chain = _fold_chain_from_hashes(list(sub_folds), mask)
+
+    z = np.zeros((S + 1, 3), dtype=object)
+    z[:, 0] = src_chain
+    z[:, 1] = tgt_chain
+    z[:, 2] = [info0 + i for i in range(S + 1)]
+    return z
+
+
+_register(Transformation.CROP, 3)((_crop_build, _crop_chain))
+
+
+# -- resize -------------------------------------------------------------
+
+
+def _resize_build(b, z, ext, ctx):
+    o_range, t_range = ctx.get("ratio", (3, 2))
+    assert (o_range, t_range) == (3, 2), "reference supports 3->2 row resize only"
+    w = (len(ext) * 2) // (2 * o_range + t_range)
+    tw = w // 2
+    r0, r1, r2, t0, t1 = _split(ext, w, w, w, tw, tw)
+    rows_px = [_decompress_row_pixels(b, r) for r in (r0, r1, r2)]
+    tgt_px = [_decompress_row_pixels(b, t) for t in (t0, t1)]
+
+    # kernels [[2,2],[1,1]] and [[1,1],[2,2]], scale 6 (resize.rs:24-134)
+    for upper, lower, tgt, kern in (
+        (rows_px[0], rows_px[1], tgt_px[0], (2, 1)),
+        (rows_px[1], rows_px[2], tgt_px[1], (1, 2)),
+    ):
+        ku, kl = kern
+        for j, tp in enumerate(tgt):
+            for c in range(3):
+                conv = (
+                    upper[2 * j][c].scale(ku)
+                    + upper[2 * j + 1][c].scale(ku)
+                    + lower[2 * j][c].scale(kl)
+                    + lower[2 * j + 1][c].scale(kl)
+                )
+                d = abs_diff(b, conv, tp[c].scale(6), 11)
+                enforce_le_const(b, d, 6, 11)
+
+    src = z[0]
+    for r in (r0, r1, r2):
+        src = head_tail_hash(b, src, r)
+    tgt = z[1]
+    for t in (t0, t1):
+        tgt = head_tail_hash(b, tgt, t)
+    return [src, tgt]
+
+
+def _resize_chain(inp, resolution, steps, ctx):
+    o_range, t_range = resolution.ratio_to_lower
+    S_full = len(inp.original) // o_range
+    S = min(steps, S_full) if steps else S_full
+    src_all = _row_chain(inp.original[: S * o_range])
+    tgt_all = _row_chain(inp.transformed[: S * t_range])
+    z = np.zeros((S + 1, 2), dtype=object)
+    z[:, 0] = src_all[::o_range]
+    z[:, 1] = tgt_all[::t_range]
+    return z
+
+
+_register(Transformation.RESIZE, 2)((_resize_build, _resize_chain))
+
+
+# -- redact -------------------------------------------------------------
+
+
+def _redact_build(b, z, ext, ctx):
+    words, ind = ext[:-1], ext[-1]
+    enforce_bool(b, ind)
+    block_hash = window_fold_hash(b, words)
+    src_next = poseidon_hash(b, [z[0], block_hash])
+    red_const = vconst(b, redacted_block_hash(len(words)))
+    tgt_red = poseidon_hash(b, [z[1], red_const])
+    tgt_keep = poseidon_hash(b, [z[1], block_hash])
+    tgt_next = select(b, ind, tgt_red, tgt_keep)
+    return [src_next, tgt_next]
+
+
+def _redact_chain(inp, resolution, steps, ctx):
+    orig = inp.original[:steps] if steps else inp.original
+    S = orig.shape[0]
+    ind = inp.extra["redact"][:S]
+    folds = _row_folds(orig)
+    red = redacted_block_hash(orig.shape[1])
+    hashes = [red if ind[i] else int(folds[i]) for i in range(S)]
+    src_chain = _fold_chain_from_hashes(list(folds[:S]))
+    tgt_chain = _fold_chain_from_hashes(hashes)
+    z = np.zeros((S + 1, 2), dtype=object)
+    z[:, 0] = src_chain
+    z[:, 1] = tgt_chain
+    return z
+
+
+_register(Transformation.REDACT, 2)((_redact_build, _redact_chain))
+
+
+# ----------------------------------------------------------------------
+# Synthesis harness
+# ----------------------------------------------------------------------
+
+
+def synthesize(
+    transformation: Transformation,
+    inp: VIMzInput,
+    resolution: Resolution = Resolution.HD,
+    steps: int | None = None,
+    ctx: dict | None = None,
+) -> R1CS:
+    """Build the full batched R1CS for all fold steps of one proof.
+
+    Returns an R1CS whose public IO per step is x = [z_i..., z_{i+1}...].
+    """
+    spec = CIRCUITS[transformation]
+    ctx = ctx or {}
+    step_inputs = prepare_step_inputs(transformation, inp, resolution, steps)
+    S = step_inputs.shape[0]
+    chain = spec.compute_chain(inp, resolution, steps, ctx)
+    assert chain.shape == (S + 1, spec.state_len), (chain.shape, S)
+
+    b = Builder(S)
+    z_in = [valloc(b, chain[:-1, k], public=True) for k in range(spec.state_len)]
+    z_out_pub = [valloc(b, chain[1:, k], public=True) for k in range(spec.state_len)]
+    ext = [valloc(b, step_inputs[:, j]) for j in range(step_inputs.shape[1])]
+
+    z_next = spec.build(b, z_in, ext, ctx)
+    assert len(z_next) == spec.state_len
+    for got, want in zip(z_next, z_out_pub):
+        b.enforce_equal(got.lc, want.lc)
+        assert np.all(got.vals % P == want.vals % P), (
+            f"{transformation}: in-circuit state update disagrees with chain"
+        )
+    return b.finalize()

@@ -172,16 +172,28 @@ class ImageHasher:
     @partial(jax.jit, static_argnums=0)
     def running_hash_circom(self, words_mont, acc0=None):
         """(S, L, 16) Montgomery words -> (16,) final accumulator."""
+        return self.chain_circom(words_mont, acc0)[-1]
+
+    @partial(jax.jit, static_argnums=0)
+    def chain_circom(self, words_mont, acc0=None):
+        """(S, L, 16) Montgomery words -> (S+1, 16) accumulator chain
+        (index i = state before absorbing chunk i)."""
         row_hashes = self.array_hash_circom(words_mont)
+        return self.accumulate_chain_circom(row_hashes, acc0)
+
+    @partial(jax.jit, static_argnums=0)
+    def accumulate_chain_circom(self, chunk_hashes, acc0=None):
+        """(S, 16) chunk hashes -> (S+1, 16) P2-fold accumulator chain."""
         if acc0 is None:
             acc0 = jnp.zeros((16,), dtype=jnp.uint32)
         p2 = self._circom_pos(2)
 
         def step(acc, h):
-            return p2.circom_hash(jnp.stack([acc, h], axis=-2)), None
+            nxt = p2.circom_hash(jnp.stack([acc, h], axis=-2))
+            return nxt, nxt
 
-        acc, _ = lax.scan(step, acc0, row_hashes)
-        return acc
+        _, accs = lax.scan(step, acc0, chunk_hashes)
+        return jnp.concatenate([acc0[None], accs], axis=0)
 
 
 _HASHER = None

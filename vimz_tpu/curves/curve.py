@@ -1,0 +1,396 @@
+"""Elliptic curves for the folding prover: BN254 G1 and Grumpkin.
+
+The reference's curve cycle (vimz/src/sonobe_backend/folding.rs:19-22) is
+bn254/grumpkin; witness commitments are Pedersen MSMs over these groups.
+
+Two implementations:
+
+- `CurveRef`: Python-int affine reference (tests, generator derivation).
+- `BatchedCurve`: vectorized Jacobian arithmetic over limb arrays (JAX),
+  with complete-case handling via masks (infinity encoded as Z = 0), plus a
+  Pippenger MSM whose bucket accumulation uses sort + segmented
+  associative-scan — the TPU-native replacement for the scatter-heavy GPU
+  bucket pattern.
+
+Curve equations: BN254 G1: y^2 = x^3 + 3 over Fq (order = P_FR);
+Grumpkin: y^2 = x^3 - 17 over Fr (order = P_FQ).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vimz_tpu.fields.limbs import FQ_LIMBS, FR_LIMBS, LimbField
+from vimz_tpu.fields.prime import FQ, FR, P_FQ, P_FR, PrimeField
+
+
+# ----------------------------------------------------------------------
+# Python-int reference
+# ----------------------------------------------------------------------
+
+
+def _sqrt_mod(a: int, p: int) -> int | None:
+    """Modular square root (Tonelli–Shanks; fast path for p % 4 == 3)."""
+    a %= p
+    if a == 0:
+        return 0
+    if pow(a, (p - 1) // 2, p) != 1:
+        return None
+    if p % 4 == 3:
+        return pow(a, (p + 1) // 4, p)
+    # Tonelli–Shanks
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, p), pow(a, q, p), pow(a, (q + 1) // 2, p)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        t, r = t * c % p, r * b % p
+    return r
+
+
+@dataclass
+class CurveRef:
+    """Short Weierstrass y^2 = x^3 + b over GF(p); points (x, y) or None=inf."""
+
+    name: str
+    field: PrimeField
+    b: int
+    order: int
+    gen: tuple[int, int]
+
+    @property
+    def p(self) -> int:
+        return self.field.p
+
+    def is_on_curve(self, P) -> bool:
+        if P is None:
+            return True
+        x, y = P
+        return (y * y - x * x * x - self.b) % self.p == 0
+
+    def add(self, P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        p = self.p
+        x1, y1 = P
+        x2, y2 = Q
+        if x1 == x2:
+            if (y1 + y2) % p == 0:
+                return None
+            lam = (3 * x1 * x1) * pow(2 * y1, -1, p) % p
+        else:
+            lam = (y2 - y1) * pow(x2 - x1, -1, p) % p
+        x3 = (lam * lam - x1 - x2) % p
+        y3 = (lam * (x1 - x3) - y1) % p
+        return (x3, y3)
+
+    def mul(self, k: int, P):
+        k %= self.order
+        R = None
+        while k:
+            if k & 1:
+                R = self.add(R, P)
+            P = self.add(P, P)
+            k >>= 1
+        return R
+
+    def msm(self, scalars, points):
+        R = None
+        for s, P in zip(scalars, points):
+            R = self.add(R, self.mul(int(s), P))
+        return R
+
+    def hash_to_point(self, seed: bytes, index: int):
+        """Deterministic try-and-increment point derivation (Pedersen bases)."""
+        ctr = 0
+        while True:
+            digest = hashlib.sha256(seed + index.to_bytes(8, "little") + ctr.to_bytes(8, "little")).digest()
+            x = int.from_bytes(digest, "little") % self.p
+            y2 = (x * x * x + self.b) % self.p
+            y = _sqrt_mod(y2, self.p)
+            if y is not None:
+                if y % 2 == 1:
+                    y = self.p - y
+                return (x, y)
+            ctr += 1
+
+
+_GRUMPKIN_GEN_Y = _sqrt_mod((1 - 17) % P_FR, P_FR)
+# Normalize to the even root for determinism (matches arkworks' choice of
+# generator sign is irrelevant for our self-consistent scheme).
+if _GRUMPKIN_GEN_Y is not None and _GRUMPKIN_GEN_Y % 2 == 1:
+    _GRUMPKIN_GEN_Y = P_FR - _GRUMPKIN_GEN_Y
+
+BN254_G1 = CurveRef("bn254_g1", FQ, 3, P_FR, (1, 2))
+GRUMPKIN = CurveRef("grumpkin", FR, -17 % P_FR, P_FQ, (1, _GRUMPKIN_GEN_Y))
+
+
+# ----------------------------------------------------------------------
+# Batched Jacobian arithmetic
+# ----------------------------------------------------------------------
+
+
+class BatchedCurve:
+    """Vectorized Jacobian point ops over (..., 16) Montgomery limb coords.
+
+    A point batch is a dict {x, y, z}; infinity has z == 0. All inputs and
+    outputs are Montgomery-form limbs of the curve's base field.
+    """
+
+    def __init__(self, ref: CurveRef, field: LimbField):
+        assert field.p == ref.p
+        self.ref = ref
+        self.f = field
+        self.b_mont = np.asarray(field.to_limbs_mont(ref.b % ref.p))
+
+    # -- conversions ----------------------------------------------------
+
+    def from_affine_ints(self, pts) -> dict:
+        """List of (x, y) or None -> batched Jacobian dict (host-side)."""
+        xs, ys, zs = [], [], []
+        for P in pts:
+            if P is None:
+                xs.append(0)
+                ys.append(1)
+                zs.append(0)
+            else:
+                xs.append(P[0])
+                ys.append(P[1])
+                zs.append(1)
+        f = self.f
+        return {
+            "x": jnp.asarray(f.to_limbs_mont(xs)),
+            "y": jnp.asarray(f.to_limbs_mont(ys)),
+            "z": jnp.asarray(f.to_limbs_mont(zs)),
+        }
+
+    def to_affine_ints(self, P) -> list:
+        """Batched Jacobian dict -> list of (x, y) or None (host-side)."""
+        f = self.f
+        x = np.atleast_2d(np.asarray(P["x"]).reshape(-1, 16))
+        y = np.atleast_2d(np.asarray(P["y"]).reshape(-1, 16))
+        z = np.atleast_2d(np.asarray(P["z"]).reshape(-1, 16))
+        out = []
+        for i in range(x.shape[0]):
+            zi = int(f.from_limbs_mont(z[i])[()])
+            if zi == 0:
+                out.append(None)
+                continue
+            xi = int(f.from_limbs_mont(x[i])[()])
+            yi = int(f.from_limbs_mont(y[i])[()])
+            zinv = pow(zi, -1, f.p)
+            out.append((xi * zinv * zinv % f.p, yi * zinv * zinv % f.p * zinv % f.p))
+        return out
+
+    def infinity(self, shape=()) -> dict:
+        f = self.f
+        one = jnp.broadcast_to(jnp.asarray(f.one_mont), shape + (16,))
+        zero = jnp.zeros(shape + (16,), dtype=jnp.uint32)
+        return {"x": zero, "y": one, "z": zero}
+
+    # -- group law ------------------------------------------------------
+
+    def double(self, P) -> dict:
+        """dbl-2009-l (a = 0). Infinity-safe (z stays 0)."""
+        f = self.f
+        X, Y, Z = P["x"], P["y"], P["z"]
+        A = f.mul(X, X)
+        B = f.mul(Y, Y)
+        C = f.mul(B, B)
+        t = f.add(X, B)
+        D = f.mul(t, t)
+        D = f.sub(f.sub(D, A), C)
+        D = f.add(D, D)
+        E = f.add(f.add(A, A), A)
+        F = f.mul(E, E)
+        X3 = f.sub(F, f.add(D, D))
+        C8 = f.add(C, C)
+        C8 = f.add(C8, C8)
+        C8 = f.add(C8, C8)
+        Y3 = f.sub(f.mul(E, f.sub(D, X3)), C8)
+        Z3 = f.mul(f.add(Y, Y), Z)
+        return {"x": X3, "y": Y3, "z": Z3}
+
+    def add(self, P, Q) -> dict:
+        """Complete addition via masked case-select (add-2007-bl core)."""
+        f = self.f
+        X1, Y1, Z1 = P["x"], P["y"], P["z"]
+        X2, Y2, Z2 = Q["x"], Q["y"], Q["z"]
+
+        Z1Z1 = f.mul(Z1, Z1)
+        Z2Z2 = f.mul(Z2, Z2)
+        U1 = f.mul(X1, Z2Z2)
+        U2 = f.mul(X2, Z1Z1)
+        S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
+        S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
+        H = f.sub(U2, U1)
+        Rr = f.sub(S2, S1)
+
+        HH = f.mul(H, H)
+        HHH = f.mul(H, HH)
+        V = f.mul(U1, HH)
+        X3 = f.sub(f.sub(f.mul(Rr, Rr), HHH), f.add(V, V))
+        Y3 = f.sub(f.mul(Rr, f.sub(V, X3)), f.mul(S1, HHH))
+        Z3 = f.mul(f.mul(Z1, Z2), H)
+        gen = {"x": X3, "y": Y3, "z": Z3}
+
+        p_inf = f.is_zero(Z1)
+        q_inf = f.is_zero(Z2)
+        h_zero = f.is_zero(H) & ~p_inf & ~q_inf
+        r_zero = f.is_zero(Rr)
+        dbl_case = h_zero & r_zero
+        inf_case = h_zero & ~r_zero
+
+        dbl = self.double(P)
+        sel = f.select
+        out = {}
+        for k in ("x", "y", "z"):
+            v = gen[k]
+            v = sel(dbl_case, dbl[k], v)
+            v = sel(p_inf, Q[k], v)
+            v = sel(q_inf, P[k], v)
+            out[k] = v
+        out["z"] = sel(inf_case, jnp.zeros_like(out["z"]), out["z"])
+        return out
+
+    # -- scalar multiplication ------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def scalar_mul(self, scalars, P) -> dict:
+        """(..., 16) standard-form scalars x batched points -> batched points."""
+        f = self.f
+
+        def body(i, acc):
+            acc = self.double(acc)
+            limb = 15 - (i // 16)
+            bit = (scalars[..., limb] >> (15 - (i % 16))) & 1
+            added = self.add(acc, P)
+            take = bit == 1
+            return {k: f.select(take, added[k], acc[k]) for k in acc}
+
+        shape = jnp.broadcast_shapes(scalars.shape[:-1], P["z"].shape[:-1])
+        return lax.fori_loop(0, 256, body, self.infinity(shape))
+
+    # -- MSM -------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def msm(self, scalars, points, c: int = 8) -> dict:
+        """Pippenger MSM: sum_i scalars[i] * points[i].
+
+        scalars: (N, 16) standard-form limbs; points: batched dict (N, 16).
+        Bucket accumulation per window: sort points by digit so each bucket
+        owns a contiguous run, then walk all runs in lockstep — one vector
+        lane per bucket, `max_run_len` sequential batched adds (the
+        sppark-style bucket-serial walk, reformulated for static shapes:
+        work ~= N adds per window, all 2^c lanes vectorized).
+        """
+        f = self.f
+        N = scalars.shape[0]
+        n_windows = 256 // c
+        n_buckets = 1 << c
+
+        def window_digits(w):
+            bit0 = w * c
+            limb = bit0 // 16
+            shift = bit0 % 16
+            return (scalars[:, limb] >> shift) & ((1 << c) - 1)
+
+        digits_all = jnp.stack([window_digits(w) for w in range(n_windows)])  # (W, N)
+
+        def one_window(digits):
+            order = jnp.argsort(digits)
+            d_sorted = digits[order].astype(jnp.int32)
+            pts = {k: points[k][order] for k in points}
+            bucket_ids = jnp.arange(n_buckets, dtype=jnp.int32)
+            start = jnp.searchsorted(d_sorted, bucket_ids, side="left")
+            end = jnp.searchsorted(d_sorted, bucket_ids, side="right")
+            length = end - start
+            max_len = jnp.max(length)
+
+            def body(t, acc):
+                idx = jnp.minimum(start + t, N - 1)
+                p = {k: pts[k][idx] for k in pts}
+                added = self.add(acc, p)
+                valid = t < length
+                return {k: f.select(valid, added[k], acc[k]) for k in acc}
+
+            return lax.fori_loop(0, max_len, body, self.infinity((n_buckets,)))
+
+        buckets_all = lax.map(one_window, digits_all)  # dict of (W, 2^c, 16)
+
+        # weighted bucket sum, batched across all windows at once:
+        # total_w = sum_b b * bucket[w, b] via running suffix accumulation
+        def bucket_body(i, carry):
+            running, total = carry
+            bidx = (1 << c) - 1 - i
+            bp = {k: buckets_all[k][:, bidx] for k in buckets_all}
+            running = self.add(running, bp)
+            total = self.add(total, running)
+            return running, total
+
+        init = (self.infinity((n_windows,)), self.infinity((n_windows,)))
+        _, window_sums = lax.fori_loop(0, (1 << c) - 1, bucket_body, init)
+
+        # combine: acc = 2^c * acc + window_sum, from the top window down
+        acc = {k: window_sums[k][n_windows - 1] for k in window_sums}
+
+        def combine_rest(i, acc):
+            w = n_windows - 2 - i
+            acc = lax.fori_loop(0, c, lambda _, a: self.double(a), acc)
+            return self.add(acc, {k: window_sums[k][w] for k in window_sums})
+
+        return lax.fori_loop(0, n_windows - 1, combine_rest, acc)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def msm_many(self, scalars, points, c: int = 8) -> dict:
+        """Batched MSMs sharing one base set: (m, N, 16) scalars -> (m,) points.
+
+        vmap over the instance axis widens every EC add in the bucket walk
+        from 2^c to m * 2^c lanes — this is how leaf witness commitments for
+        all fold steps run as one kernel.
+        """
+        return jax.vmap(lambda s: self.msm(s, points, c))(scalars)
+
+    # -- Pedersen ---------------------------------------------------------
+
+    def pedersen_bases(self, n: int, seed: bytes = b"vimz-tpu-pedersen") -> dict:
+        """n deterministic independent generators as a batched point dict."""
+        pts = [self.ref.hash_to_point(seed, i) for i in range(n)]
+        return self.from_affine_ints(pts)
+
+
+_BN254_BATCHED = None
+_GRUMPKIN_BATCHED = None
+
+
+def bn254_batched() -> BatchedCurve:
+    global _BN254_BATCHED
+    if _BN254_BATCHED is None:
+        _BN254_BATCHED = BatchedCurve(BN254_G1, FQ_LIMBS)
+    return _BN254_BATCHED
+
+
+def grumpkin_batched() -> BatchedCurve:
+    global _GRUMPKIN_BATCHED
+    if _GRUMPKIN_BATCHED is None:
+        _GRUMPKIN_BATCHED = BatchedCurve(GRUMPKIN, FR_LIMBS)
+    return _GRUMPKIN_BATCHED

@@ -67,24 +67,25 @@ class LimbField:
     # Conversions
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _obj_to_limbs(arr: np.ndarray) -> np.ndarray:
+        """Object-int array (already reduced) -> (..., 16) uint32 limbs
+        (vectorized shifts; no per-element Python loop)."""
+        pieces = [((arr >> (LIMB_BITS * i)) & 0xFFFF) for i in range(NLIMB)]
+        return np.stack(pieces, axis=-1).astype(np.uint32)
+
     def to_limbs(self, values) -> np.ndarray:
         """Python ints (nested lists ok) -> limb array, NOT Montgomery form."""
-        arr = np.asarray(values, dtype=object)
-        out = np.zeros(arr.shape + (NLIMB,), dtype=np.uint32)
-        for idx in np.ndindex(arr.shape):
-            out[idx] = int_to_limbs(int(arr[idx]) % self.p)
-        if arr.shape == ():
-            out = out.reshape(NLIMB)
-        return out
+        arr = np.asarray(values, dtype=object) % self.p
+        return self._obj_to_limbs(arr)
 
     def from_limbs(self, limbs) -> np.ndarray:
         """Limb array -> numpy object array of Python ints."""
         limbs = np.asarray(limbs)
-        shape = limbs.shape[:-1]
-        out = np.empty(shape, dtype=object)
-        for idx in np.ndindex(shape):
-            out[idx] = limbs_to_int(limbs[idx])
-        return out
+        acc = np.zeros(limbs.shape[:-1], dtype=object)
+        for i in range(limbs.shape[-1]):
+            acc = acc + (limbs[..., i].astype(object) << (LIMB_BITS * i))
+        return acc
 
     def to_mont(self, a):
         return self.mul(a, jnp.asarray(self.r2_limbs))
@@ -95,13 +96,8 @@ class LimbField:
 
     def to_limbs_mont(self, values) -> np.ndarray:
         """Python ints -> Montgomery-form limbs (host-side, exact)."""
-        arr = np.asarray(values, dtype=object)
-        out = np.zeros(arr.shape + (NLIMB,), dtype=np.uint32)
-        for idx in np.ndindex(arr.shape):
-            out[idx] = int_to_limbs((int(arr[idx]) % self.p) * self.R % self.p)
-        if arr.shape == ():
-            out = out.reshape(NLIMB)
-        return out
+        arr = (np.asarray(values, dtype=object) % self.p) * self.R % self.p
+        return self._obj_to_limbs(arr)
 
     def from_limbs_mont(self, limbs) -> np.ndarray:
         vals = self.from_limbs(limbs)
@@ -113,12 +109,21 @@ class LimbField:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _carry_propagate(cols, out_len: int):
+    def _shift_limbs(arr, d: int):
+        """Shift limb values toward higher indices by d (zero-fill low side)."""
+        if d == 0:
+            return arr
+        pad = jnp.zeros(arr.shape[:-1] + (d,), dtype=arr.dtype)
+        return jnp.concatenate([pad, arr[..., :-d]], axis=-1)
+
+    @classmethod
+    def _carry_propagate(cls, cols, out_len: int):
         """Resolve (..., n) uint32 column sums into (..., out_len) 16-bit limbs.
 
-        The value represented is sum(cols[i] << 16*i); it must fit out_len limbs.
-        Implemented as a lax.scan over the limb axis (compact graph; the limb
-        chain is inherently sequential, the batch axes are vectorized).
+        The value is sum(cols[i] << 16*i) and must fit out_len limbs.
+        Branch-free Kogge–Stone carry lookahead: two split-and-add passes
+        reduce residual carries to <= 1, then a log-depth generate/propagate
+        prefix resolves the ripple — no sequential scan, pure VPU ops.
         """
         n = cols.shape[-1]
         if out_len > n:
@@ -126,29 +131,44 @@ class LimbField:
                 [cols, jnp.zeros(cols.shape[:-1] + (out_len - n,), dtype=jnp.uint32)],
                 axis=-1,
             )
-        cols_t = jnp.moveaxis(cols[..., :out_len], -1, 0)
+        x = cols[..., :out_len]
+        # pass 1: carries < 2^16
+        s = (x & MASK) + cls._shift_limbs(x >> LIMB_BITS, 1)
+        # pass 2: carries in {0, 1}
+        s = (s & MASK) + cls._shift_limbs(s >> LIMB_BITS, 1)
+        # now s <= 2^16; lookahead over unit carries
+        g = s >> LIMB_BITS  # {0,1} generate
+        r = s & MASK
+        p = (r == MASK).astype(jnp.uint32)  # propagate
+        G, Pp = g, p
+        d = 1
+        while d < out_len:
+            G = G | (Pp & cls._shift_limbs(G, d))
+            Pp = Pp & cls._shift_limbs(Pp, d)
+            d <<= 1
+        carry_in = cls._shift_limbs(G, 1)
+        return (r + carry_in) & MASK
 
-        def body(carry, col):
-            c = carry + col
-            return c >> LIMB_BITS, c & MASK
+    @classmethod
+    def _sub_with_borrow(cls, a, b):
+        """a - b over equal-length limb arrays; returns (diff, borrow_flag).
 
-        _, out = lax.scan(body, jnp.zeros(cols.shape[:-1], dtype=jnp.uint32), cols_t)
-        return jnp.moveaxis(out, 0, -1)
-
-    @staticmethod
-    def _sub_with_borrow(a, b):
-        """a - b over equal-length limb arrays; returns (diff, borrow_flag)."""
-        at = jnp.moveaxis(a, -1, 0)
-        bt = jnp.moveaxis(jnp.broadcast_to(b, a.shape), -1, 0)
-
-        def body(borrow, ab):
-            ai, bi = ab
-            bib = bi + borrow
-            d = (ai - bib) & MASK
-            return (ai < bib).astype(jnp.uint32), d
-
-        borrow, out = lax.scan(body, jnp.zeros(a.shape[:-1], dtype=jnp.uint32), (at, bt))
-        return jnp.moveaxis(out, 0, -1), borrow
+        Borrow lookahead mirrors the carry lookahead: generate = a_i < b_i,
+        propagate = a_i == b_i.
+        """
+        b = jnp.broadcast_to(b, a.shape)
+        n = a.shape[-1]
+        g = (a < b).astype(jnp.uint32)
+        p = (a == b).astype(jnp.uint32)
+        G, Pp = g, p
+        d = 1
+        while d < n:
+            G = G | (Pp & cls._shift_limbs(G, d))
+            Pp = Pp & cls._shift_limbs(Pp, d)
+            d <<= 1
+        borrow_in = cls._shift_limbs(G, 1)
+        diff = (a - b - borrow_in) & MASK
+        return diff, G[..., -1]
 
     @classmethod
     def _cond_sub(cls, a, m):

@@ -1,0 +1,111 @@
+"""End-to-end prover pipeline: witness JSON -> folded proof -> verification.
+
+Mirrors the reference's run flow (vimz/src/sonobe_backend/mod.rs:53-95):
+prepare input -> prepare folding -> fold all steps -> verify folding ->
+verify final state against independently recomputed image commitments ->
+emit proof artifact. The folding itself is the tree-parallel scheme of
+vimz_tpu.folding (log-depth, batched MSMs) rather than the reference's
+sequential prove_step loop.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from vimz_tpu.circuits import synthesize
+from vimz_tpu.folding import FoldingProver, FoldingVerifier, FoldProof
+from vimz_tpu.folding.relaxed import DeviceR1CS
+from vimz_tpu.pipeline.input import Resolution, Transformation, VIMzInput, prepare_step_inputs
+
+DEMO_STEPS = 10  # reference: vimz/src/lib.rs:9
+
+
+@dataclass
+class ProveResult:
+    proof: FoldProof
+    z0: list
+    zn: list
+    n_constraints: int
+    n_wires: int
+    timings: dict
+
+
+def prove(
+    transformation: Transformation,
+    inp: VIMzInput,
+    resolution: Resolution = Resolution.HD,
+    demo: bool = False,
+    ctx: dict | None = None,
+    progress: bool = False,
+) -> ProveResult:
+    steps = DEMO_STEPS if demo else None
+    timings = {}
+
+    t0 = time.time()
+    r1cs = synthesize(transformation, inp, resolution, steps, ctx)
+    timings["synthesize_s"] = time.time() - t0
+
+    t0 = time.time()
+    d = DeviceR1CS(r1cs)
+    prover = FoldingProver(d)
+    timings["setup_s"] = time.time() - t0
+
+    t0 = time.time()
+    proof = prover.prove(r1cs, progress=progress)
+    timings["fold_s"] = time.time() - t0
+
+    state_len = r1cs.n_pub // 2
+    z0 = [int(v) for v in r1cs.witness[0, 1 : 1 + state_len]]
+    zn = [int(v) for v in r1cs.witness[-1, 1 + state_len : 1 + 2 * state_len]]
+    return ProveResult(proof, z0, zn, r1cs.n_constraints, r1cs.n_wires, timings)
+
+
+def verify(
+    result: ProveResult,
+    transformation: Transformation,
+    source_image: np.ndarray | None = None,
+    target_image: np.ndarray | None = None,
+    demo: bool = False,
+) -> bool:
+    """IVC verification + final-state check against image commitments
+    (reference: verify_folding + verify_final_state,
+    vimz/src/sonobe_backend/folding.rs:68-132)."""
+    from vimz_tpu.commit import hash_image_circom
+
+    # NOTE: the verifier needs the circuit structure; rebuild from the proof's
+    # R1CS is implicit via the caller sharing DeviceR1CS. Here we only check
+    # the final state semantics; callers use FoldingVerifier directly for the
+    # cryptographic check (see cli.py which does both).
+    nsteps = DEMO_STEPS if demo else None
+    if source_image is not None:
+        want = hash_image_circom(source_image, nsteps=nsteps)
+        if result.zn[0] != want:
+            return False
+    if target_image is not None and transformation != Transformation.HASH:
+        want = hash_image_circom(target_image, nsteps=nsteps)
+        if result.zn[1] != want:
+            return False
+    return True
+
+
+def save_proof(result: ProveResult, path: str):
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "x_rows": result.proof.x_rows,
+                "leaf_comm_w": result.proof.leaf_comm_w,
+                "node_comm_t": result.proof.node_comm_t,
+                "u_final": result.proof.u_final,
+                "w_final": result.proof.w_final,
+                "e_final": result.proof.e_final,
+                "state_len": result.proof.state_len,
+                "steps": result.proof.steps,
+                "z0": result.z0,
+                "zn": result.zn,
+            },
+            f,
+        )
