@@ -17,6 +17,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the limb/EC kernels are compile-heavy; reuse
-# compiled artifacts across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+# compiled artifacts across test runs. (Keyed by backend + machine, so a
+# cache built elsewhere is never loaded here.)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-vimz")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -10,6 +10,15 @@ transformations/), with constraint layouts designed fresh for this framework
 (O(W_out * W) products, crop.rs:99-137 / MultiplexerCrop), and all hashing
 uses the oracle-verified circomlib window-fold profile.
 
+Synthesis is two-phase, TPU-first:
+
+1. *structure* (constraints + witness tape) is built once per circuit shape
+   and cached (in-memory + on disk) — it is independent of the image and of
+   the number of fold steps;
+2. *witness values* for all fold steps are computed on device by the batched
+   tape executor (r1cs/witness.py); the public state chains come from the
+   device-batched hashers below.
+
 The IVC state layouts match vimz/src/transformation.rs:25-49:
 
 - hash:                 [acc]
@@ -33,18 +42,18 @@ from vimz_tpu.fields.prime import P_FR as P
 from vimz_tpu.pipeline.input import Resolution, Transformation, VIMzInput, prepare_step_inputs
 from vimz_tpu.r1cs.builder import LC, Builder, R1CS
 from vimz_tpu.r1cs.gadgets import (
-    VLC,
     abs_diff,
     enforce_bool,
     enforce_le_const,
+    from_bits,
     head_tail_hash,
     is_zero,
+    le,
     mul,
     poseidon_hash,
     saturating_sub,
     select,
     to_bits,
-    valloc,
     vconst,
     vmax,
     vmin,
@@ -56,6 +65,8 @@ from vimz_tpu.r1cs.gadgets import (
 
 CROP_WIDTH = 640
 CROP_HEIGHT = 480
+
+STRUCTURE_VERSION = "structure-v2"  # bump to invalidate cached structures
 
 
 # ----------------------------------------------------------------------
@@ -118,7 +129,7 @@ def redacted_block_hash(n_words: int = 160) -> int:
 class StepCircuit:
     transformation: Transformation
     state_len: int
-    build: Callable  # (b, z: list[VLC], ext: list[VLC], ctx: dict) -> list[VLC]
+    build: Callable  # (b, z: list[LC], ext: list[LC], ctx: dict) -> list[LC]
     compute_chain: Callable  # (inp, resolution, steps, ctx) -> (S+1, state_len) object
 
 
@@ -134,7 +145,7 @@ def _register(t: Transformation, state_len: int):
     return deco
 
 
-def _split(ext: list[VLC], *sizes: int) -> list[list[VLC]]:
+def _split(ext: list[LC], *sizes: int) -> list[list[LC]]:
     out, pos = [], 0
     for s in sizes:
         out.append(ext[pos : pos + s])
@@ -143,7 +154,7 @@ def _split(ext: list[VLC], *sizes: int) -> list[list[VLC]]:
     return out
 
 
-def _decompress_row_pixels(b, words: list[VLC]):
+def _decompress_row_pixels(b, words: list[LC]):
     """Row of packed words -> flat list of (r, g, b) pixel triples."""
     px = []
     for w in words:
@@ -211,7 +222,7 @@ def _brightness_build(b, z, ext, ctx):
     for sp, tp in zip(src_px, tgt_px):
         for c in range(3):
             scaled = mul(b, sp[c], factor)  # 13 bits
-            actual = vmin(b, scaled, vconst(b, 2550), 13)
+            actual = vmin(b, scaled, vconst(2550), 13)
             d = abs_diff(b, actual, tp[c].scale(10), 12)
             enforce_le_const(b, d, 10, 12)
     return [head_tail_hash(b, z[0], orig), head_tail_hash(b, z[1], tran), factor]
@@ -242,7 +253,7 @@ def _contrast_build(b, z, ext, ctx):
             # (p-128)*f + 1280 clipped to [0, 2550], tolerance 10 (contrast.rs)
             a = mul(b, sp[c], factor).add_const(1280)
             bb = saturating_sub(b, a, factor_mean, 14)
-            contrasted = vmin(b, bb, vconst(b, 2550), 13)
+            contrasted = vmin(b, bb, vconst(2550), 13)
             d = abs_diff(b, contrasted, tp[c].scale(10), 13)
             enforce_le_const(b, d, 10, 13)
     return [head_tail_hash(b, z[0], orig), head_tail_hash(b, z[1], tran), factor]
@@ -267,12 +278,12 @@ def _conv_build(kernel, k_scale, tolerance, shift):
         r0, r1, r2, tran = _split(ext, w, w, w, w)
         rows_px = [_decompress_row_pixels(b, r) for r in (r0, r1, r2)]
         tgt_px = _decompress_row_pixels(b, tran)
-        zero = vconst(b, 0)
-        padded = [[ (zero, zero, zero) ] + row + [ (zero, zero, zero) ] for row in rows_px]
+        zero = vconst(0)
+        padded = [[(zero, zero, zero)] + row + [(zero, zero, zero)] for row in rows_px]
 
         for i, tp in enumerate(tgt_px):
             for c in range(3):
-                conv = vconst(b, 0)
+                conv = vconst(0)
                 for kr in range(3):
                     for kc in range(3):
                         kv = kernel[kr][kc]
@@ -284,9 +295,9 @@ def _conv_build(kernel, k_scale, tolerance, shift):
                     enforce_le_const(b, d, tolerance, 12)
                 else:
                     adjusted = conv.add_const(shift)
-                    up = vmin(b, adjusted, vconst(b, shift + 255), 11)
-                    trimmed = vmax(b, up, vconst(b, shift), 11)
-                    b.enforce_equal(trimmed.lc, (tp[c].add_const(shift)).lc)
+                    up = vmin(b, adjusted, vconst(shift + 255), 11)
+                    trimmed = vmax(b, up, vconst(shift), 11)
+                    b.enforce_equal(trimmed, tp[c].add_const(shift))
 
         # state update (IVCStateConvolution semantics, ivc_state.rs:91-146)
         src_next = head_tail_hash(b, z[0], r1)  # middle row feeds source hash
@@ -295,7 +306,7 @@ def _conv_build(kernel, k_scale, tolerance, shift):
         for old, new in zip((z[2], z[3]), folds[:2]):
             nz = is_zero(b, old)
             # (old - new) * (1 - is_zero(old)) == 0
-            b.enforce(old.lc - new.lc, LC.const(1) - nz.lc, LC())
+            b.enforce(old - new, LC.const(1) - nz, LC())
         return [src_next, tgt_next, folds[1], folds[2]]
 
     return build
@@ -333,20 +344,14 @@ def _crop_build(b, z, ext, ctx):
     w = len(ext)
     n_vals = 10 * w
 
-    # decode info = col*2^24 + row*2^12 + cur (crop.rs:63-101)
+    # decode info = col*2^24 + row*2^12 + cur (crop.rs:63-101): one 36-bit
+    # decomposition; cur/row/col are LC windows over the same bits
     info = z[2]
-    cur_v = info.vals % (1 << 12)
-    row_v = (info.vals >> 12) % (1 << 12)
-    col_v = (info.vals >> 24) % (1 << 12)
-    cur = valloc(b, cur_v)
-    row = valloc(b, row_v)
-    col = valloc(b, col_v)
-    to_bits(b, cur, 12)
-    to_bits(b, row, 12)
-    col_bits = to_bits(b, col, 12)
-    b.enforce_equal(
-        (col.scale(1 << 24) + row.scale(1 << 12) + cur).lc, info.lc
-    )
+    info_bits = to_bits(b, info, 36)
+    cur = from_bits(info_bits[0:12])
+    row = from_bits(info_bits[12:24])
+    col = from_bits(info_bits[24:36])
+    col_bits = info_bits[24:36]
 
     # unpack row into 24-bit pixel values
     vals = []
@@ -361,12 +366,12 @@ def _crop_build(b, z, ext, ctx):
         bit = col_bits[k]
         nxt = []
         for j in range(n_vals):
-            shifted = cur_row[j + (1 << k)] if j + (1 << k) < n_vals else vconst(b, 0)
+            shifted = cur_row[j + (1 << k)] if j + (1 << k) < n_vals else vconst(0)
             nxt.append(select(b, bit, shifted, cur_row[j]))
         cur_row = nxt
     # any higher bit of col must be zero to keep the shift semantics exact
     for k in range(n_stages, 12):
-        b.enforce_zero(col_bits[k].lc)
+        b.enforce_zero(col_bits[k])
 
     subrow_vals = cur_row[: out_words * 10]
     subrow_words = [
@@ -375,8 +380,6 @@ def _crop_build(b, z, ext, ctx):
     ]
 
     # within crop area: row <= cur <= row + crop_height - 1 (crop.rs:141-168)
-    from vimz_tpu.r1cs.gadgets import le
-
     after = le(b, row, cur, 12)
     before = le(b, cur, row.add_const(crop_height - 1), 12)
     within = mul(b, after, before)
@@ -489,7 +492,7 @@ def _redact_build(b, z, ext, ctx):
     enforce_bool(b, ind)
     block_hash = window_fold_hash(b, words)
     src_next = poseidon_hash(b, [z[0], block_hash])
-    red_const = vconst(b, redacted_block_hash(len(words)))
+    red_const = vconst(redacted_block_hash(len(words)))
     tgt_red = poseidon_hash(b, [z[1], red_const])
     tgt_keep = poseidon_hash(b, [z[1], block_hash])
     tgt_next = select(b, ind, tgt_red, tgt_keep)
@@ -515,8 +518,44 @@ _register(Transformation.REDACT, 2)((_redact_build, _redact_chain))
 
 
 # ----------------------------------------------------------------------
-# Synthesis harness
+# Synthesis harness (structure cached in memory + on disk)
 # ----------------------------------------------------------------------
+
+_STRUCTURES: dict[tuple, Builder] = {}
+
+
+def build_structure(transformation: Transformation, n_ext: int, ctx: dict) -> Builder:
+    """Build (or load from cache) the constraint structure + witness tape."""
+    spec = CIRCUITS[transformation]
+    key = (
+        STRUCTURE_VERSION,
+        transformation.value,
+        spec.state_len,
+        n_ext,
+        tuple(sorted(ctx.items())),
+    )
+    if key in _STRUCTURES:
+        return _STRUCTURES[key]
+
+    from vimz_tpu.utils.cache import disk_load, disk_save
+
+    cached = disk_load(key)
+    if cached is not None:
+        _STRUCTURES[key] = cached
+        return cached
+
+    b = Builder()
+    z_in = [b.alloc_input(public=True) for _ in range(spec.state_len)]
+    z_out = [b.alloc_input(public=True) for _ in range(spec.state_len)]
+    ext = [b.alloc_input() for _ in range(n_ext)]
+    z_next = spec.build(b, z_in, ext, ctx)
+    assert len(z_next) == spec.state_len
+    for got, want in zip(z_next, z_out):
+        b.enforce_equal(got, want)
+
+    _STRUCTURES[key] = b
+    disk_save(key, b)
+    return b
 
 
 def synthesize(
@@ -528,7 +567,8 @@ def synthesize(
 ) -> R1CS:
     """Build the full batched R1CS for all fold steps of one proof.
 
-    Returns an R1CS whose public IO per step is x = [z_i..., z_{i+1}...].
+    Returns an R1CS whose public IO per step is x = [z_i..., z_{i+1}...];
+    witness values are computed lazily on device (R1CS.w_mont()).
     """
     spec = CIRCUITS[transformation]
     ctx = ctx or {}
@@ -537,16 +577,6 @@ def synthesize(
     chain = spec.compute_chain(inp, resolution, steps, ctx)
     assert chain.shape == (S + 1, spec.state_len), (chain.shape, S)
 
-    b = Builder(S)
-    z_in = [valloc(b, chain[:-1, k], public=True) for k in range(spec.state_len)]
-    z_out_pub = [valloc(b, chain[1:, k], public=True) for k in range(spec.state_len)]
-    ext = [valloc(b, step_inputs[:, j]) for j in range(step_inputs.shape[1])]
-
-    z_next = spec.build(b, z_in, ext, ctx)
-    assert len(z_next) == spec.state_len
-    for got, want in zip(z_next, z_out_pub):
-        b.enforce_equal(got.lc, want.lc)
-        assert np.all(got.vals % P == want.vals % P), (
-            f"{transformation}: in-circuit state update disagrees with chain"
-        )
-    return b.finalize()
+    b = build_structure(transformation, step_inputs.shape[1], ctx)
+    inputs = np.concatenate([chain[:-1], chain[1:], step_inputs], axis=1)
+    return b.finalize(inputs)

@@ -323,7 +323,10 @@ class BatchedCurve:
             bucket_ids = jnp.arange(n_buckets, dtype=jnp.int32)
             start = jnp.searchsorted(d_sorted, bucket_ids, side="left")
             end = jnp.searchsorted(d_sorted, bucket_ids, side="right")
-            length = end - start
+            # bucket 0 contributes nothing — excluding it keeps the walk
+            # short for skewed digit distributions (small-value scalars put
+            # nearly everything in bucket 0 for the higher windows)
+            length = jnp.where(bucket_ids == 0, 0, end - start)
             max_len = jnp.max(length)
 
             def body(t, acc):
@@ -370,12 +373,70 @@ class BatchedCurve:
         """
         return jax.vmap(lambda s: self.msm(s, points, c))(scalars)
 
+    @partial(jax.jit, static_argnums=0)
+    def sum_masked(self, mask, points) -> dict:
+        """Subset sum: sum_i mask[i] * points[i] for 0/1 masks.
+
+        mask: (..., N) uint32 in {0, 1}; points: batched dict (N, 16) with N
+        a power of two. Log-depth pairwise tree reduction — the fast path
+        for committing bit-valued witness wires (the majority of wires in
+        every step circuit), where Pippenger's bucket walk degenerates.
+        """
+        N = points["z"].shape[0]
+        assert N & (N - 1) == 0, "pad N to a power of two"
+        shape = mask.shape[:-1]
+        P = {
+            "x": jnp.broadcast_to(points["x"], shape + (N, 16)),
+            "y": jnp.broadcast_to(points["y"], shape + (N, 16)),
+            "z": jnp.where(mask[..., None] == 1, points["z"], jnp.uint32(0)),
+        }
+        while N > 1:
+            P = self.add(
+                {k: v[..., 0::2, :] for k, v in P.items()},
+                {k: v[..., 1::2, :] for k, v in P.items()},
+            )
+            N //= 2
+        return {k: v[..., 0, :] for k, v in P.items()}
+
     # -- Pedersen ---------------------------------------------------------
 
     def pedersen_bases(self, n: int, seed: bytes = b"vimz-tpu-pedersen") -> dict:
-        """n deterministic independent generators as a batched point dict."""
-        pts = [self.ref.hash_to_point(seed, i) for i in range(n)]
-        return self.from_affine_ints(pts)
+        """n deterministic independent generators as a batched point dict.
+
+        Derivation (hash-to-point) is host-side and one-time; limb arrays are
+        cached on disk and extended incrementally as larger circuits ask for
+        more bases (the analogue of the reference's public-parameter setup,
+        vimz/src/nova_snark_backend/folding.rs:21-25).
+        """
+        import os
+
+        import numpy as np_
+
+        from vimz_tpu.utils.cache import cache_dir
+
+        path = os.path.join(
+            cache_dir(), f"pedersen_{self.ref.name}_{seed.hex()}.npz"
+        )
+        have = 0
+        arrs = None
+        if os.path.exists(path):
+            try:
+                loaded = np_.load(path)
+                arrs = {k: loaded[k] for k in ("x", "y", "z")}
+                have = arrs["x"].shape[0]
+            except Exception:
+                arrs, have = None, 0
+        if have < n:
+            pts = [self.ref.hash_to_point(seed, i) for i in range(have, n)]
+            fresh = {k: np_.asarray(v) for k, v in self.from_affine_ints(pts).items()}
+            if arrs is None:
+                arrs = fresh
+            else:
+                arrs = {k: np_.concatenate([arrs[k], fresh[k]]) for k in arrs}
+            tmp = path + f".tmp.{os.getpid()}.npz"
+            np_.savez(tmp, **arrs)
+            os.replace(tmp, path)
+        return {k: jnp.asarray(v[:n]) for k, v in arrs.items()}
 
 
 _BN254_BATCHED = None

@@ -8,10 +8,19 @@ TPU-first:
 - every step is an independent committed relaxed-R1CS instance whose public
   IO is the state transition x_i = (z_i, z_{i+1}) — chaining is checked on
   the public IO, so folding order is free;
-- all leaf witness commitments are computed up front (batched MSMs);
+- all leaf witness commitments are computed up front (batched MSMs), with a
+  fast masked tree-sum path for bit-valued wires (the majority of every step
+  circuit's witness) and Pippenger for the full-width wires;
 - instances are folded pairwise in a binary tree: each level computes all
-  cross terms with one batched matvec call and all cross-term commitments
-  with batched MSMs, so the serial depth is log2(steps) instead of steps.
+  cross terms with batched matvec calls and all cross-term commitments with
+  batched MSMs, so the serial depth is log2(steps) instead of steps.
+
+The leaf count is padded to a power of two with all-zero relaxed instances
+(u = 0, W = 0, E = 0, x = 0 — trivially satisfied). Folding against a zero
+instance is the identity, so those pairs are skipped (no cross term, no
+commitment); both prover and verifier derive the skip pattern from the step
+count alone. Device work is issued in fixed-size pair chunks so XLA compiles
+one kernel shape per operation, not one per tree level.
 
 Soundness rests on the standard Nova folding lemma applied at every tree
 node, with Fiat–Shamir challenges binding the node's children and cross-term
@@ -24,15 +33,22 @@ gate at this stage is IVC-verify + final-state check, which this matches).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vimz_tpu.curves import BatchedCurve, bn254_batched
 from vimz_tpu.fields.limbs import FR_LIMBS
 from vimz_tpu.fields.prime import P_FR as P
 from vimz_tpu.folding.relaxed import DeviceR1CS
-from vimz_tpu.folding.transcript import fold_challenge, instance_digest
+from vimz_tpu.folding.transcript import (
+    fold_challenge,
+    fold_challenges_batch,
+    instance_digest,
+    instance_digests_batch,
+)
 from vimz_tpu.r1cs.builder import R1CS
 
 
@@ -44,13 +60,21 @@ def _index_points(pts: dict, sl) -> dict:
     return {k: v[sl] for k, v in pts.items()}
 
 
+def _concat_points(parts: list[dict]) -> dict:
+    return {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
 @dataclass
 class FoldProof:
     state_len: int
     steps: int
     x_rows: np.ndarray  # (S, 2*state_len) object ints
     leaf_comm_w: list  # S affine points / None
-    node_comm_t: list  # per level: list of affine comm_T
+    node_comm_t: list  # per level: list of affine comm_T (real-real pairs only)
     u_final: int
     w_final: np.ndarray  # (n_wit,) object ints
     e_final: np.ndarray  # (n_constraints,) object ints
@@ -63,6 +87,10 @@ class FoldProof:
 class _FoldCore:
     """Shared prover/verifier machinery over one step circuit."""
 
+    PAIR_CHUNK = 64
+    PAIR_CHUNK_SMALL = 8
+    MSM_CHUNK = 32
+
     def __init__(self, dr1cs: DeviceR1CS, curve: BatchedCurve | None = None):
         self.d = dr1cs
         self.curve = curve or bn254_batched()
@@ -70,16 +98,97 @@ class _FoldCore:
         self.n_wit = dr1cs.n_wires - 1 - dr1cs.n_pub
         n_bases = max(self.n_wit, dr1cs.n_constraints)
         self.bases = self.curve.pedersen_bases(n_bases)
+        # witness wire classes for the split leaf commitment
+        bit_mask = getattr(dr1cs, "bit_mask", None)
+        if bit_mask is not None:
+            wmask = bit_mask[1 + dr1cs.n_pub :]
+            self._bit_idx = np.where(wmask)[0].astype(np.int32)
+            self._full_idx = np.where(~wmask)[0].astype(np.int32)
+        else:
+            self._bit_idx = np.zeros(0, dtype=np.int32)
+            self._full_idx = np.arange(self.n_wit, dtype=np.int32)
+        if len(self._bit_idx):
+            nb = _pow2(len(self._bit_idx))
+            bb = _index_points(self.bases, self._bit_idx)
+            pad = nb - len(self._bit_idx)
+            self._bit_bases = {
+                "x": jnp.concatenate([bb["x"], jnp.broadcast_to(bb["x"][:1], (pad, 16))]),
+                "y": jnp.concatenate([bb["y"], jnp.broadcast_to(bb["y"][:1], (pad, 16))]),
+                "z": jnp.concatenate([bb["z"], jnp.zeros((pad, 16), dtype=jnp.uint32)]),
+            }
+            self._full_bases = _index_points(self.bases, self._full_idx)
+        else:
+            self._bit_bases = None
+            self._full_bases = None
+
+    # -- chunk helpers ---------------------------------------------------
+
+    def _chunk_size(self, n: int) -> int:
+        return self.PAIR_CHUNK if n > self.PAIR_CHUNK_SMALL else self.PAIR_CHUNK_SMALL
+
+    # -- commitments -------------------------------------------------------
 
     def commit(self, scalars_std) -> dict:
         """(N, 16) standard-form scalars -> Pedersen commitment point."""
         n = scalars_std.shape[0]
         return self.curve.msm(scalars_std, _index_points(self.bases, slice(0, n)))
 
-    def commit_many(self, scalars_std) -> dict:
-        """(m, N, 16) -> stacked points (m,) — one vmapped MSM kernel."""
-        n = scalars_std.shape[1]
-        return self.curve.msm_many(scalars_std, _index_points(self.bases, slice(0, n)))
+    def commit_many(self, scalars_std, chunk: int | None = None) -> dict:
+        """(m, N, 16) -> stacked points (m,) — vmapped MSM kernels.
+
+        Instances are processed `chunk` at a time so the per-window gathered
+        point buffers stay bounded at HD scale (720 instances x ~1e5 bases).
+        """
+        chunk = chunk or self.MSM_CHUNK
+        m, n = scalars_std.shape[0], scalars_std.shape[1]
+        bases = _index_points(self.bases, slice(0, n))
+        return self._msm_chunked(scalars_std, bases, chunk)
+
+    def _msm_chunked(self, scalars_std, bases, chunk: int) -> dict:
+        m = scalars_std.shape[0]
+        if m <= chunk:
+            return self.curve.msm_many(scalars_std, bases)
+        pad = (-m) % chunk
+        if pad:
+            scalars_std = jnp.concatenate(
+                [scalars_std, jnp.zeros((pad,) + scalars_std.shape[1:], dtype=scalars_std.dtype)]
+            )
+        parts = [
+            self.curve.msm_many(scalars_std[i : i + chunk], bases)
+            for i in range(0, m + pad, chunk)
+        ]
+        return {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
+
+    def commit_witnesses(self, w_std) -> dict:
+        """Leaf witness commitments (m, n_wit) with the bit/full class split."""
+        if self._bit_bases is None:
+            return self.commit_many(w_std)
+        m = w_std.shape[0]
+        nb = self._bit_bases["z"].shape[0]
+        bit_scalars = w_std[:, self._bit_idx, 0]  # value is the low limb (0/1)
+        pad = nb - len(self._bit_idx)
+        if pad:
+            bit_scalars = jnp.concatenate(
+                [bit_scalars, jnp.zeros((m, pad), dtype=jnp.uint32)], axis=1
+            )
+        chunk = self.MSM_CHUNK
+        parts = []
+        for i in range(0, m, chunk):
+            sl = bit_scalars[i : i + chunk]
+            if sl.shape[0] < chunk:
+                sl = jnp.concatenate(
+                    [sl, jnp.zeros((chunk - sl.shape[0], nb), dtype=jnp.uint32)]
+                )
+            parts.append(self.curve.sum_masked(sl, self._bit_bases))
+        comm_bit = {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
+        if len(self._full_idx):
+            comm_full = self._msm_chunked(
+                w_std[:, self._full_idx], self._full_bases, chunk
+            )
+            return self.curve.add(comm_bit, comm_full)
+        return comm_bit
+
+    # -- point helpers -----------------------------------------------------
 
     def to_affine(self, pts: dict) -> list:
         return self.curve.to_affine_ints(pts)
@@ -88,104 +197,218 @@ class _FoldCore:
         """p1 + r * p2, batched."""
         return self.curve.add(p1, self.curve.scalar_mul(r_std, p2))
 
+    def fold_comm_e(self, ce1: dict, ct: dict, ce2: dict, r_std, r2_std) -> dict:
+        """ce1 + r*ct + r^2*ce2, batched."""
+        return self.curve.add(
+            ce1,
+            self.curve.add(
+                self.curve.scalar_mul(r_std, ct), self.curve.scalar_mul(r2_std, ce2)
+            ),
+        )
+
+    def _pad_points(self, pts: dict, n: int) -> dict:
+        m = pts["z"].shape[0]
+        if m == n:
+            return pts
+        inf = self.curve.infinity((n - m,))
+        return _concat_points([pts, inf])
+
     def _r_limbs(self, rs: list[int]):
         std = jnp.asarray(self.f.to_limbs(np.array(rs, dtype=object)))
         mont = jnp.asarray(self.f.to_limbs_mont(np.array(rs, dtype=object)))
         return std, mont
 
+    def _zero_digest(self) -> int:
+        return instance_digest(0, [0] * self.d.n_pub, None, None)
+
+    def cross_terms_chunked(self, z1, u1, z2, u2):
+        """d.cross_term over the pair axis in fixed-size chunks."""
+        k = z1.shape[0]
+        cs = self._chunk_size(k)
+        pad = (-k) % cs
+        if pad:
+            zpad = jnp.zeros((pad,) + z1.shape[1:], dtype=z1.dtype)
+            upad = jnp.zeros((pad, 16), dtype=u1.dtype)
+            z1 = jnp.concatenate([z1, zpad])
+            z2 = jnp.concatenate([z2, zpad])
+            u1 = jnp.concatenate([u1, upad])
+            u2 = jnp.concatenate([u2, upad])
+        parts = [
+            self.d.cross_term(z1[i : i + cs], u1[i : i + cs], z2[i : i + cs], u2[i : i + cs])
+            for i in range(0, k + pad, cs)
+        ]
+        return jnp.concatenate(parts)[:k]
+
+    @partial(jax.jit, static_argnums=0)
+    def _fold_z_kernel(self, z1, z2, r_mont):
+        return self.f.add(z1, self.f.mul(z2, r_mont[:, None, :]))
+
+    @partial(jax.jit, static_argnums=0)
+    def _fold_e_kernel(self, e1, T, e2, r_mont, r2_mont):
+        f = self.f
+        return f.add(
+            e1, f.add(f.mul(T, r_mont[:, None, :]), f.mul(e2, r2_mont[:, None, :]))
+        )
+
+    def _chunked3(self, fn, arrays, rs_list):
+        """Apply fn(*chunks) over the leading axis in fixed-size chunks."""
+        k = arrays[0].shape[0]
+        cs = self._chunk_size(k)
+        pad = (-k) % cs
+        padded = []
+        for a in arrays:
+            if pad:
+                a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)])
+            padded.append(a)
+        rs_padded = []
+        for r in rs_list:
+            if pad:
+                r = jnp.concatenate([r, jnp.zeros((pad, 16), dtype=r.dtype)])
+            rs_padded.append(r)
+        parts = [
+            fn(*[a[i : i + cs] for a in padded], *[r[i : i + cs] for r in rs_padded])
+            for i in range(0, k + pad, cs)
+        ]
+        return jnp.concatenate(parts)[:k]
+
 
 class FoldingProver(_FoldCore):
     def prove(self, r1cs: R1CS, progress: bool = False) -> FoldProof:
         f, d = self.f, self.d
-        S = r1cs.witness.shape[0]
+        S = r1cs.S
+        Sp = _pow2(S)
         state_len = r1cs.n_pub // 2
+        nw, nc = d.n_wires, d.n_constraints
 
-        # Full Z rows (u=1) in both forms.
-        z_std_host = f.to_limbs(r1cs.witness)
-        z_mont = f.to_mont(jnp.asarray(z_std_host))
-        w_std = jnp.asarray(z_std_host[:, 1 + d.n_pub :, :])
+        # Full Z rows (u=1) in Montgomery form, computed on device by the
+        # batched witness tape executor; padded with zero instances to Sp.
+        z_real = r1cs.w_mont()
+        w_std = f.from_mont(z_real[:, 1 + d.n_pub :])
 
-        # Leaf commitments (batched MSMs).
-        comm_w = self.commit_many(w_std)
-        comm_w_aff = self.to_affine(comm_w)
-        comm_e = self.curve.infinity((S,))
+        # Leaf commitments (batched MSMs, bit/full class split).
+        comm_w_real = self.commit_witnesses(w_std)
+        comm_w_aff = self.to_affine(comm_w_real)
 
-        x_rows = r1cs.witness[:, 1 : 1 + d.n_pub].copy()
-        u_host = [1] * S
-        digests = [
-            instance_digest(1, list(x_rows[i]), comm_w_aff[i], None) for i in range(S)
-        ]
+        z_mont = jnp.concatenate(
+            [z_real, jnp.zeros((Sp - S, nw, 16), dtype=jnp.uint32)]
+        )
+        e_mont = jnp.zeros((Sp, nc, 16), dtype=jnp.uint32)
+        comm_w = self._pad_points(comm_w_real, Sp)
+        comm_e = self.curve.infinity((Sp,))
 
-        e_mont = jnp.zeros((S, d.n_constraints, 16), dtype=jnp.uint32)
+        x_rows = np.zeros((Sp, d.n_pub), dtype=object)
+        x_rows[:S] = r1cs.inputs[:, : d.n_pub]
+        u_host = [1] * S + [0] * (Sp - S)
+        zd = self._zero_digest()
+        digests = instance_digests_batch(
+            [1] * S, x_rows[:S], comm_w_aff, [None] * S
+        ) + [zd] * (Sp - S)
+
         node_comm_t: list[list] = []
-
-        m = S
+        active = S
+        m = Sp
         while m > 1:
             k = m // 2
-            carry = m % 2
-            sl1, sl2 = slice(0, 2 * k, 2), slice(1, 2 * k, 2)
+            nfull = active // 2
+            carry = active % 2
+            sl1, sl2 = slice(0, 2 * nfull, 2), slice(1, 2 * nfull, 2)
 
-            z1, z2 = z_mont[sl1], z_mont[sl2]
-            u1_m = jnp.asarray(f.to_limbs_mont(np.array(u_host[0 : 2 * k : 2], dtype=object)))
-            u2_m = jnp.asarray(f.to_limbs_mont(np.array(u_host[1 : 2 * k : 2], dtype=object)))
+            # cross terms + commitments for real-real pairs only
+            if nfull:
+                u1_m = jnp.asarray(
+                    f.to_limbs_mont(np.array(u_host[0 : 2 * nfull : 2], dtype=object))
+                )
+                u2_m = jnp.asarray(
+                    f.to_limbs_mont(np.array(u_host[1 : 2 * nfull : 2], dtype=object))
+                )
+                T = self.cross_terms_chunked(z_mont[sl1], u1_m, z_mont[sl2], u2_m)
+                T_std = f.from_mont(T)
+                comm_t = self._msm_chunked(
+                    T_std, _index_points(self.bases, slice(0, nc)), self.MSM_CHUNK
+                )
+                comm_t_aff = self.to_affine(comm_t)
+            else:
+                T = jnp.zeros((0, nc, 16), dtype=jnp.uint32)
+                comm_t = self.curve.infinity((0,))
+                comm_t_aff = []
 
-            T = d.cross_term(z1, u1_m, z2, u2_m)  # (k, nc, 16) mont
-            T_std = f.from_mont(T)
-            comm_t = self.commit_many(T_std)
-            comm_t_aff = self.to_affine(comm_t)
-
-            rs = [
-                fold_challenge(digests[2 * j], digests[2 * j + 1], comm_t_aff[j])
-                for j in range(k)
-            ]
-            r_std, r_mont = self._r_limbs(rs)
-            r2s = [r * r % P for r in rs]
-            r2_std, r2_mont = self._r_limbs(r2s)
-
-            # fold vectors: z' = z1 + r z2 ; E' = E1 + r T + r^2 E2
-            z_next = f.add(z1, f.mul(z2, r_mont[:, None, :]))
-            e_next = f.add(
-                e_mont[sl1],
-                f.add(
-                    f.mul(T, r_mont[:, None, :]),
-                    f.mul(e_mont[sl2], r2_mont[:, None, :]),
-                ),
+            rs = (
+                fold_challenges_batch(
+                    digests[0 : 2 * nfull : 2], digests[1 : 2 * nfull : 2], comm_t_aff
+                )
+                if nfull
+                else []
             )
-            cw_next = self.fold_points(
-                _index_points(comm_w, sl1), _index_points(comm_w, sl2), r_std
-            )
-            ce_next = self.curve.add(
-                _index_points(comm_e, sl1),
-                self.curve.add(
-                    self.curve.scalar_mul(r_std, comm_t),
-                    self.curve.scalar_mul(r2_std, _index_points(comm_e, sl2)),
-                ),
-            )
+            if nfull:
+                r_std, r_mont = self._r_limbs(rs)
+                r2s = [r * r % P for r in rs]
+                r2_std, r2_mont = self._r_limbs(r2s)
 
-            u_next = [(u_host[2 * j] + rs[j] * u_host[2 * j + 1]) % P for j in range(k)]
-            x_next = (x_rows[sl1] + x_rows[sl2] * np.array(rs, dtype=object)[:, None]) % P
+                z_fold = self._chunked3(
+                    self._fold_z_kernel, [z_mont[sl1], z_mont[sl2]], [r_mont]
+                )
+                e_fold = self._chunked3(
+                    self._fold_e_kernel,
+                    [e_mont[sl1], T, e_mont[sl2]],
+                    [r_mont, r2_mont],
+                )
+                cw_fold = self.fold_points(
+                    _index_points(comm_w, sl1), _index_points(comm_w, sl2), r_std
+                )
+                ce_fold = self.fold_comm_e(
+                    _index_points(comm_e, sl1), comm_t,
+                    _index_points(comm_e, sl2), r_std, r2_std,
+                )
 
+            # assemble next level: folded pairs, optional real-zero carry
+            # (identity fold), then zero instances
+            pieces_z, pieces_e, pieces_cw, pieces_ce = [], [], [], []
+            if nfull:
+                pieces_z.append(z_fold)
+                pieces_e.append(e_fold)
+                pieces_cw.append(cw_fold)
+                pieces_ce.append(ce_fold)
             if carry:
-                z_next = jnp.concatenate([z_next, z_mont[-1:]])
-                e_next = jnp.concatenate([e_next, e_mont[-1:]])
-                cw_next = {k2: jnp.concatenate([cw_next[k2], comm_w[k2][-1:]]) for k2 in cw_next}
-                ce_next = {k2: jnp.concatenate([ce_next[k2], comm_e[k2][-1:]]) for k2 in ce_next}
-                u_next = u_next + [u_host[-1]]
-                x_next = np.concatenate([x_next, x_rows[-1:]])
+                ci = 2 * nfull
+                pieces_z.append(z_mont[ci : ci + 1])
+                pieces_e.append(e_mont[ci : ci + 1])
+                pieces_cw.append(_index_points(comm_w, slice(ci, ci + 1)))
+                pieces_ce.append(_index_points(comm_e, slice(ci, ci + 1)))
+            nz = k - nfull - carry
+            if nz:
+                pieces_z.append(jnp.zeros((nz, nw, 16), dtype=jnp.uint32))
+                pieces_e.append(jnp.zeros((nz, nc, 16), dtype=jnp.uint32))
+                pieces_cw.append(self.curve.infinity((nz,)))
+                pieces_ce.append(self.curve.infinity((nz,)))
+            z_mont = jnp.concatenate(pieces_z)
+            e_mont = jnp.concatenate(pieces_e)
+            comm_w = _concat_points(pieces_cw)
+            comm_e = _concat_points(pieces_ce)
 
-            cw_aff = self.to_affine(cw_next)
-            ce_aff = self.to_affine(ce_next)
-            digests = [
-                instance_digest(u_next[j], list(x_next[j]), cw_aff[j], ce_aff[j])
-                for j in range(len(u_next))
-            ]
+            u_next = [(u_host[2 * j] + rs[j] * u_host[2 * j + 1]) % P for j in range(nfull)]
+            x_next = (
+                x_rows[sl1] + x_rows[sl2] * np.array(rs, dtype=object)[:, None]
+            ) % P if nfull else np.zeros((0, d.n_pub), dtype=object)
+            if carry:
+                u_next.append(u_host[2 * nfull])
+                x_next = np.concatenate([x_next, x_rows[2 * nfull : 2 * nfull + 1]])
+            if nz:
+                u_next.extend([0] * nz)
+                x_next = np.concatenate([x_next, np.zeros((nz, d.n_pub), dtype=object)])
 
-            z_mont, e_mont, comm_w, comm_e = z_next, e_next, cw_next, ce_next
+            n_active_next = nfull + carry
+            cw_aff = self.to_affine(_index_points(comm_w, slice(0, n_active_next)))
+            ce_aff = self.to_affine(_index_points(comm_e, slice(0, n_active_next)))
+            digests = instance_digests_batch(
+                u_next[:n_active_next], x_next[:n_active_next], cw_aff, ce_aff
+            ) + [zd] * nz
+
             u_host, x_rows = u_next, x_next
             node_comm_t.append(comm_t_aff)
-            m = k + carry
+            active = n_active_next
+            m = k
             if progress:
-                print(f"  fold level done: {m} instances remain")
+                print(f"  fold level done: {m} instances remain ({active} active)")
 
         w_final = f.from_limbs_mont(np.asarray(z_mont[0, 1 + d.n_pub :]))
         e_final = f.from_limbs_mont(np.asarray(e_mont[0]))
@@ -193,7 +416,7 @@ class FoldingProver(_FoldCore):
         return FoldProof(
             state_len=state_len,
             steps=S,
-            x_rows=r1cs.witness[:, 1 : 1 + d.n_pub].copy(),
+            x_rows=r1cs.inputs[:, : d.n_pub].copy(),
             leaf_comm_w=comm_w_aff,
             node_comm_t=node_comm_t,
             u_final=u_host[0],
@@ -206,87 +429,120 @@ class FoldingVerifier(_FoldCore):
     def verify(self, proof: FoldProof, z0: list[int], zn: list[int]) -> bool:
         f, d = self.f, self.d
         S = proof.steps
+        Sp = _pow2(S)
         sl_len = proof.state_len
-        x_rows = proof.x_rows % P
+        if proof.x_rows.shape != (S, d.n_pub):
+            return False
 
         # 1) state chaining on public IO
-        if list(x_rows[0, :sl_len]) != [v % P for v in z0]:
+        x_real = proof.x_rows % P
+        if list(x_real[0, :sl_len]) != [v % P for v in z0]:
             return False
-        if list(x_rows[-1, sl_len:]) != [v % P for v in zn]:
+        if list(x_real[-1, sl_len:]) != [v % P for v in zn]:
             return False
         for i in range(S - 1):
-            if list(x_rows[i, sl_len:]) != list(x_rows[i + 1, :sl_len]):
+            if list(x_real[i, sl_len:]) != list(x_real[i + 1, :sl_len]):
                 return False
 
         # 2) recompute the fold tree over instances only
-        comm_w = self.curve.from_affine_ints(proof.leaf_comm_w)
-        comm_e = self.curve.infinity((S,))
-        u_host = [1] * S
-        digests = [
-            instance_digest(1, list(x_rows[i]), proof.leaf_comm_w[i], None)
-            for i in range(S)
-        ]
+        x_rows = np.zeros((Sp, d.n_pub), dtype=object)
+        x_rows[:S] = x_real
+        u_host = [1] * S + [0] * (Sp - S)
+        comm_w = self._pad_points(self.curve.from_affine_ints(proof.leaf_comm_w), Sp)
+        comm_e = self.curve.infinity((Sp,))
+        zd = self._zero_digest()
+        digests = instance_digests_batch(
+            [1] * S, x_rows[:S], proof.leaf_comm_w, [None] * S
+        ) + [zd] * (Sp - S)
 
-        m = S
-        for level, comm_t_aff in enumerate(proof.node_comm_t):
-            k = m // 2
-            carry = m % 2
-            if len(comm_t_aff) != k:
+        active = S
+        m = Sp
+        level = 0
+        for comm_t_aff in proof.node_comm_t:
+            if m <= 1:
                 return False
-            sl1, sl2 = slice(0, 2 * k, 2), slice(1, 2 * k, 2)
-            comm_t = self.curve.from_affine_ints(comm_t_aff)
-            rs = [
-                fold_challenge(digests[2 * j], digests[2 * j + 1], comm_t_aff[j])
-                for j in range(k)
-            ]
-            r_std, _ = self._r_limbs(rs)
-            r2_std, _ = self._r_limbs([r * r % P for r in rs])
-
-            cw_next = self.fold_points(
-                _index_points(comm_w, sl1), _index_points(comm_w, sl2), r_std
+            k = m // 2
+            nfull = active // 2
+            carry = active % 2
+            if len(comm_t_aff) != nfull:
+                return False
+            sl1, sl2 = slice(0, 2 * nfull, 2), slice(1, 2 * nfull, 2)
+            rs = (
+                fold_challenges_batch(
+                    digests[0 : 2 * nfull : 2], digests[1 : 2 * nfull : 2], comm_t_aff
+                )
+                if nfull
+                else []
             )
-            ce_next = self.curve.add(
-                _index_points(comm_e, sl1),
-                self.curve.add(
-                    self.curve.scalar_mul(r_std, comm_t),
-                    self.curve.scalar_mul(r2_std, _index_points(comm_e, sl2)),
-                ),
-            )
-            u_next = [(u_host[2 * j] + rs[j] * u_host[2 * j + 1]) % P for j in range(k)]
-            x_next = (x_rows[sl1] + x_rows[sl2] * np.array(rs, dtype=object)[:, None]) % P
+            if nfull:
+                comm_t = self.curve.from_affine_ints(comm_t_aff)
+                r_std, _ = self._r_limbs(rs)
+                r2_std, _ = self._r_limbs([r * r % P for r in rs])
+                cw_fold = self.fold_points(
+                    _index_points(comm_w, sl1), _index_points(comm_w, sl2), r_std
+                )
+                ce_fold = self.fold_comm_e(
+                    _index_points(comm_e, sl1), comm_t,
+                    _index_points(comm_e, sl2), r_std, r2_std,
+                )
 
+            pieces_cw, pieces_ce = [], []
+            if nfull:
+                pieces_cw.append(cw_fold)
+                pieces_ce.append(ce_fold)
             if carry:
-                cw_next = {k2: jnp.concatenate([cw_next[k2], comm_w[k2][-1:]]) for k2 in cw_next}
-                ce_next = {k2: jnp.concatenate([ce_next[k2], comm_e[k2][-1:]]) for k2 in ce_next}
-                u_next = u_next + [u_host[-1]]
-                x_next = np.concatenate([x_next, x_rows[-1:]])
+                ci = 2 * nfull
+                pieces_cw.append(_index_points(comm_w, slice(ci, ci + 1)))
+                pieces_ce.append(_index_points(comm_e, slice(ci, ci + 1)))
+            nz = k - nfull - carry
+            if nz:
+                pieces_cw.append(self.curve.infinity((nz,)))
+                pieces_ce.append(self.curve.infinity((nz,)))
+            comm_w = _concat_points(pieces_cw)
+            comm_e = _concat_points(pieces_ce)
 
-            cw_aff = self.to_affine(cw_next)
-            ce_aff = self.to_affine(ce_next)
-            digests = [
-                instance_digest(u_next[j], list(x_next[j]), cw_aff[j], ce_aff[j])
-                for j in range(len(u_next))
-            ]
-            comm_w, comm_e = cw_next, ce_next
+            u_next = [(u_host[2 * j] + rs[j] * u_host[2 * j + 1]) % P for j in range(nfull)]
+            x_next = (
+                x_rows[sl1] + x_rows[sl2] * np.array(rs, dtype=object)[:, None]
+            ) % P if nfull else np.zeros((0, d.n_pub), dtype=object)
+            if carry:
+                u_next.append(u_host[2 * nfull])
+                x_next = np.concatenate([x_next, x_rows[2 * nfull : 2 * nfull + 1]])
+            if nz:
+                u_next.extend([0] * nz)
+                x_next = np.concatenate([x_next, np.zeros((nz, d.n_pub), dtype=object)])
+
+            n_active_next = nfull + carry
+            cw_aff = self.to_affine(_index_points(comm_w, slice(0, n_active_next)))
+            ce_aff = self.to_affine(_index_points(comm_e, slice(0, n_active_next)))
+            digests = instance_digests_batch(
+                u_next[:n_active_next], x_next[:n_active_next], cw_aff, ce_aff
+            ) + [zd] * nz
             u_host, x_rows = u_next, x_next
-            m = k + carry
+            active = n_active_next
+            m = k
+            level += 1
         if m != 1:
             return False
 
         # 3) final opening checks
         w_std = jnp.asarray(f.to_limbs(proof.w_final))
         e_std = jnp.asarray(f.to_limbs(proof.e_final))
-        if self.to_affine(self.commit(w_std))[0] != self.to_affine(comm_w)[0]:
+        if self.to_affine(self.commit(w_std))[0] != self.to_affine(
+            _index_points(comm_w, slice(0, 1))
+        )[0]:
             return False
-        if self.to_affine(self.commit(e_std))[0] != self.to_affine(comm_e)[0]:
+        if self.to_affine(self.commit(e_std))[0] != self.to_affine(
+            _index_points(comm_e, slice(0, 1))
+        )[0]:
             return False
 
         # 4) relaxed R1CS satisfaction of the final instance
         z_full = np.concatenate(
-            [np.array([proof.u_final], dtype=object), x_rows[0], proof.w_final]
+            [np.array([u_host[0]], dtype=object), x_rows[0], proof.w_final]
         )
         z_mont = f.to_mont(jnp.asarray(f.to_limbs(z_full)))
-        u_mont = jnp.asarray(f.to_limbs_mont(np.array(proof.u_final, dtype=object)))
+        u_mont = jnp.asarray(f.to_limbs_mont(np.array(u_host[0], dtype=object)))
         e_mont = f.to_mont(jnp.asarray(e_std))
         res = d.residual(z_mont, u_mont, e_mont)
         return bool(np.all(np.asarray(f.is_zero(res))))

@@ -3,9 +3,14 @@
 The reference's folding backends evaluate constraint matrices through
 nova-snark / sonobe sparse structures one step at a time
 (vimz/src/sonobe_backend/folding.rs:52-65). Here the matrices live on device
-in padded ELL form (gather indices + Montgomery coefficients) so that
+in packed ELL form (gather indices + Montgomery coefficients) so that
 A/B/C matvecs — the core of Nova cross-term computation — run as batched
 gather + lazy-reduced mul_acc over many fold pairs at once.
+
+Rows are bucketed by LC width (most constraint rows have <= 8 terms; bit
+recomposition rows have hundreds), and each bucket is processed in
+fixed-size row blocks under `lax.map`, so peak gather memory stays bounded
+at HD/4K scale instead of materializing (batch, n_constraints, K, 16).
 """
 
 from __future__ import annotations
@@ -15,10 +20,19 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from vimz_tpu.fields.limbs import FR_LIMBS
 from vimz_tpu.fields.prime import P_FR as P
 from vimz_tpu.r1cs.builder import R1CS
+
+# (max LC terms, row block size) per bucket — block sizes keep the gathered
+# (batch, block, K, 16) intermediate around a few hundred MB at batch ~64.
+_BUCKETS = ((4, 4096), (16, 2048), (64, 512), (256, 128), (2048, 16))
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
 
 
 class DeviceR1CS:
@@ -29,30 +43,71 @@ class DeviceR1CS:
         self.n_wires = r1cs.n_wires
         self.n_constraints = r1cs.n_constraints
         self.f = FR_LIMBS
+        # which wires are 0/1-valued (bit decompositions, booleans): the
+        # commitment layer uses this for its masked tree-sum fast path
+        self.bit_mask = np.zeros(r1cs.n_wires, dtype=bool)
+        for op in r1cs.tape:
+            if op.kind == "bits":
+                self.bit_mask[op.out : op.out + op.n_out] = True
+            elif op.kind == "iszero":
+                self.bit_mask[op.out + 1] = True
         self.mats = {
             name: self._pack(rows)
             for name, rows in (("A", r1cs.a_rows), ("B", r1cs.b_rows), ("C", r1cs.c_rows))
         }
 
     def _pack(self, rows: list[dict]):
-        K = max((len(r) for r in rows), default=1) or 1
-        n = len(rows)
-        idx = np.zeros((n, K), dtype=np.int32)
-        coeff = np.zeros((n, K), dtype=object)
-        for i, row in enumerate(rows):
-            for j, (col, c) in enumerate(row.items()):
-                idx[i, j] = col
-                coeff[i, j] = c
-        # padding entries: index 0 with coefficient 0 (contributes nothing)
-        coeff_limbs = self.f.to_limbs_mont(coeff)
-        return jnp.asarray(idx), jnp.asarray(coeff_limbs), K
+        """Bucket rows by LC width, pad each bucket to whole blocks."""
+        buckets = []
+        order = sorted(range(len(rows)), key=lambda i: len(rows[i]))
+        pos = 0
+        for kmax, block in _BUCKETS:
+            sel = []
+            while pos < len(order) and len(rows[order[pos]]) <= kmax:
+                sel.append(order[pos])
+                pos += 1
+            if not sel:
+                continue
+            K = _pow2(max(len(rows[i]) for i in sel) or 1)
+            blk = min(block, _pow2(len(sel)))
+            m = len(sel)
+            mp = ((m + blk - 1) // blk) * blk
+            idx = np.zeros((mp, K), dtype=np.int32)
+            coeff = np.zeros((mp, K), dtype=object)
+            for r, i in enumerate(sel):
+                for j, (col, c) in enumerate(rows[i].items()):
+                    idx[r, j] = col
+                    coeff[r, j] = c
+            coeff_limbs = self.f.to_limbs_mont(coeff)
+            nb = mp // blk
+            buckets.append(
+                dict(
+                    rows=jnp.asarray(np.asarray(sel, dtype=np.int32)),
+                    idx=jnp.asarray(idx.reshape(nb, blk, K)),
+                    coeff=jnp.asarray(coeff_limbs.reshape(nb, blk, K, 16)),
+                    m=m,
+                )
+            )
+        assert pos == len(rows), "row wider than the largest bucket"
+        return tuple(buckets)
 
     @partial(jax.jit, static_argnums=(0, 2))
     def matvec(self, z_mont, name: str):
         """z: (..., n_wires, 16) Montgomery -> (..., n_constraints, 16)."""
-        idx, coeff, _ = self.mats[name]
-        gathered = z_mont[..., idx, :]  # (..., n, K, 16)
-        return self.f.mul_acc(coeff, gathered)
+        f = self.f
+        batch = z_mont.shape[:-2]
+        out = jnp.zeros(batch + (self.n_constraints, 16), dtype=jnp.uint32)
+        for bk in self.mats[name]:
+            def one_block(args):
+                idx, coeff = args  # (blk, K), (blk, K, 16)
+                gathered = z_mont[..., idx, :]  # (..., blk, K, 16)
+                return f.mul_acc(coeff, gathered)
+
+            res = lax.map(one_block, (bk["idx"], bk["coeff"]))  # (nb, ..., blk, 16)
+            res = jnp.moveaxis(res, 0, -3)  # (..., nb, blk, 16)
+            res = res.reshape(batch + (-1, 16))[..., : bk["m"], :]
+            out = out.at[..., bk["rows"], :].set(res)
+        return out
 
     @partial(jax.jit, static_argnums=0)
     def residual(self, z_mont, u_mont, e_mont):

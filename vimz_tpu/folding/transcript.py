@@ -13,6 +13,8 @@ verifier, so the only requirements are determinism and domain separation.
 
 from __future__ import annotations
 
+import numpy as np
+
 from vimz_tpu.fields.prime import P_FR
 from vimz_tpu.poseidon.pyref import circom_poseidon
 
@@ -43,3 +45,73 @@ def instance_digest(u: int, x: list[int], comm_w, comm_e) -> int:
 
 def fold_challenge(d_left: int, d_right: int, comm_t) -> int:
     return _chain(DS_FOLD, [d_left, d_right, *point_parts(comm_t)])
+
+
+# ----------------------------------------------------------------------
+# Batched device evaluation (bit-identical to the scalar functions above)
+# ----------------------------------------------------------------------
+
+_P2 = None
+
+
+def _batched_p2():
+    global _P2
+    if _P2 is None:
+        from vimz_tpu.poseidon.params import circomlib_params
+        from vimz_tpu.poseidon.sponge import BatchedPoseidon
+
+        _P2 = BatchedPoseidon(circomlib_params(2))
+    return _P2
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def batch_chain(init: int, values: np.ndarray) -> np.ndarray:
+    """Batched `_chain`: (B, L) object ints -> (B,) object ints, on device.
+
+    Lanes are padded to a power of two so kernel shapes are reused across
+    tree levels.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from vimz_tpu.fields.limbs import FR_LIMBS as f
+
+    B, L = values.shape
+    Bp = _pow2(max(B, 8))
+    vals = np.zeros((Bp, L), dtype=object)
+    vals[:B] = values
+    vm = f.to_mont(jnp.asarray(f.to_limbs(vals)))  # (Bp, L, 16)
+    acc = f.to_mont(
+        jnp.broadcast_to(
+            jnp.asarray(f.to_limbs(np.array(init % P_FR, dtype=object))), (Bp, 16)
+        )
+    )
+    p2 = _batched_p2()
+
+    def body(acc, v):
+        return p2.circom_hash(jnp.stack([acc, v], axis=-2)), None
+
+    acc, _ = lax.scan(body, acc, jnp.moveaxis(vm, 1, 0))
+    return f.from_limbs_mont(np.asarray(acc))[:B]
+
+
+def instance_digests_batch(us: list[int], xs: np.ndarray, comm_ws: list, comm_es: list):
+    """Batched instance_digest over B instances (xs: (B, n_pub) object)."""
+    B = len(us)
+    rows = [
+        [us[i], *xs[i], *point_parts(comm_ws[i]), *point_parts(comm_es[i])]
+        for i in range(B)
+    ]
+    return list(batch_chain(DS_INSTANCE, np.array(rows, dtype=object)))
+
+
+def fold_challenges_batch(d_lefts: list[int], d_rights: list[int], comm_ts: list):
+    """Batched fold_challenge over B pairs."""
+    B = len(d_lefts)
+    rows = [
+        [d_lefts[i], d_rights[i], *point_parts(comm_ts[i])] for i in range(B)
+    ]
+    return list(batch_chain(DS_FOLD, np.array(rows, dtype=object)))

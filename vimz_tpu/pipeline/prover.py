@@ -59,8 +59,8 @@ def prove(
     timings["fold_s"] = time.time() - t0
 
     state_len = r1cs.n_pub // 2
-    z0 = [int(v) for v in r1cs.witness[0, 1 : 1 + state_len]]
-    zn = [int(v) for v in r1cs.witness[-1, 1 + state_len : 1 + 2 * state_len]]
+    z0 = [int(v) for v in r1cs.inputs[0, :state_len]]
+    zn = [int(v) for v in r1cs.inputs[-1, state_len : 2 * state_len]]
     return ProveResult(proof, z0, zn, r1cs.n_constraints, r1cs.n_wires, timings)
 
 

@@ -1,21 +1,28 @@
-"""Batched R1CS constraint builder.
+"""Tape-recording R1CS constraint builder (structure only, no values).
 
-The builder plays the role of arkworks' ConstraintSystem + witness assignment
-in the reference (vimz/src/sonobe_backend/circuits/arkworks/), but is
-*batched*: every wire carries a vector of values — one per fold step — so one
-build pass produces the constraint matrices (shared by all steps) AND the
-witness matrix for every step of the image at once. This replaces the
-reference's per-step WASM witness-generator runs / per-step constraint
-synthesis.
+The builder plays the role of arkworks' ConstraintSystem in the reference
+(vimz/src/sonobe_backend/circuits/arkworks/), but is redesigned TPU-first:
+constraint *structure* and witness *values* are fully separated. Building a
+circuit records
+
+- the A/B/C constraint rows (linear combinations over wire indices), and
+- a **witness tape**: a straight-line program of elementary ops
+  (MUL / BITS / ISZERO over linear combinations of earlier wires)
+
+so that witness generation for *all fold steps at once* runs as batched
+Montgomery-limb kernels on device (see r1cs/witness.py) — this replaces the
+reference's per-step WASM witness-generator processes
+(vimz/src/nova_snark_backend/folding.rs:28-43) and is where the TPU design
+gets its batch parallelism.
 
 Conventions:
 
 - wire 0 is the constant 1 (the `u` slot of the relaxed R1CS Z-vector).
-- public wires come next (after `finalize()` permutes them there), then
-  private witness wires. Z = [u, x, w].
-- A linear combination (LC) maps wire index -> coefficient; linear
-  constraints are free (folded into LCs), only multiplications allocate
-  constraints, exactly like R1CS synthesis in arkworks/circom.
+- input wires (public state IO first, then private external inputs) come
+  immediately after; their values are supplied at witness-generation time.
+- linear constraints are free in *wires* (folded into LCs); only
+  multiplications / decompositions allocate wires, exactly like R1CS
+  synthesis in arkworks/circom.
 """
 
 from __future__ import annotations
@@ -68,34 +75,90 @@ class LC:
             return LC()
         return LC({k: (v * c) % P for k, v in self.terms.items()})
 
+    def add_const(self, c: int) -> "LC":
+        return self + LC.const(c)
+
     def is_zero(self) -> bool:
         return not self.terms
+
+    def single_wire(self) -> int | None:
+        """Wire index if this LC is exactly 1*wire, else None."""
+        if len(self.terms) == 1:
+            (k, v), = self.terms.items()
+            if v == 1:
+                return k
+        return None
+
+
+@dataclass
+class Op:
+    """One witness-tape entry. Allocates `n_out` wires starting at `out`."""
+
+    kind: str  # "mul" | "bits" | "iszero"
+    out: int
+    n_out: int
+    lcs: tuple  # mul: (a, b); bits/iszero: (x,)
+    meta: int = 0  # bits: bit count
+    depth: int = 0
 
 
 @dataclass
 class R1CS:
-    """Finalized constraint system + batched assignments."""
+    """Finalized constraint structure + witness tape + input values.
+
+    The witness matrix is computed on demand: on device in Montgomery limb
+    form (`w_mont`, the prover hot path — see r1cs/witness.py) or as host
+    Python ints (`witness`, for small tests).
+    """
 
     n_pub: int
-    n_wires: int  # total including constant wire 0 and publics
+    n_inputs: int  # publics + private external inputs (wires 1..n_inputs)
+    n_wires: int
     a_rows: list  # list of dict[int, int]
     b_rows: list
     c_rows: list
-    witness: np.ndarray  # (S, n_wires) object ints, full Z rows with u=1
-    perm_note: str = ""
+    tape: list  # list of Op
+    inputs: np.ndarray  # (S, n_inputs) object ints; columns map to wires 1..
+    _w_mont: object = None  # cached device witness (S, n_wires, 16) Montgomery
+    _witness_host: object = None
 
     @property
     def n_constraints(self) -> int:
         return len(self.a_rows)
 
-    def public_inputs(self) -> np.ndarray:
-        return self.witness[:, 1 : 1 + self.n_pub]
+    @property
+    def S(self) -> int:
+        return self.inputs.shape[0]
 
-    def private_witness(self) -> np.ndarray:
-        return self.witness[:, 1 + self.n_pub :]
+    def w_mont(self):
+        """(S, n_wires, 16) uint32 Montgomery witness matrix on device."""
+        if self._w_mont is None:
+            from vimz_tpu.r1cs.witness import execute_tape
+
+            self._w_mont = execute_tape(self)
+        return self._w_mont
+
+    @property
+    def witness(self) -> np.ndarray:
+        """(S, n_wires) object-int full Z rows (u=1) — host materialization."""
+        if self._witness_host is None:
+            from vimz_tpu.fields.limbs import FR_LIMBS
+
+            self._witness_host = FR_LIMBS.from_limbs_mont(np.asarray(self.w_mont()))
+        return self._witness_host
+
+    @witness.setter
+    def witness(self, value):
+        self._witness_host = value
+
+    def public_inputs(self) -> np.ndarray:
+        return self.inputs[:, : self.n_pub]
 
     def check_satisfied(self, rows=None) -> bool:
-        """Plain R1CS check (u=1, E=0): (A z) * (B z) == C z, per step."""
+        """Plain R1CS check (u=1, E=0): (A z) * (B z) == C z, per step.
+
+        Host-side object-int evaluation — use on small instances only.
+        """
         z = self.witness if rows is None else self.witness[rows]
 
         def matvec(rows_):
@@ -120,41 +183,81 @@ class R1CS:
 
 
 class Builder:
-    def __init__(self, batch_size: int):
-        self.S = batch_size
-        self.values: list[np.ndarray] = [np.ones(batch_size, dtype=object)]
-        self.public_flags: list[bool] = [False]
+    """Records constraint structure and the witness tape (no values)."""
+
+    def __init__(self):
+        self.n_wires = 1  # wire 0 = constant 1
+        self.n_pub = 0
+        self.n_inputs = 0
+        self._inputs_done = False
         self.a_rows: list[dict] = []
         self.b_rows: list[dict] = []
         self.c_rows: list[dict] = []
+        self.tape: list[Op] = []
+        self._depth: list[int] = [0]  # per wire
 
-    # -- allocation -----------------------------------------------------
+    # -- inputs -----------------------------------------------------------
 
-    def _coerce(self, values) -> np.ndarray:
-        arr = np.asarray(values, dtype=object)
-        if arr.shape == ():
-            arr = np.full(self.S, int(arr[()]) % P, dtype=object)
-        assert arr.shape == (self.S,), f"bad value shape {arr.shape}"
-        return arr % P
+    def alloc_input(self, public: bool = False) -> LC:
+        """Allocate an input wire whose value is supplied at witness time.
 
-    def alloc(self, values, public: bool = False) -> LC:
-        idx = len(self.values)
-        self.values.append(self._coerce(values))
-        self.public_flags.append(public)
+        All public inputs must be allocated before any private input; all
+        inputs before any tape op.
+        """
+        assert not self._inputs_done, "inputs must be allocated before tape ops"
+        if public:
+            assert self.n_inputs == self.n_pub, "publics must come first"
+            self.n_pub += 1
+        idx = self.n_wires
+        self.n_wires += 1
+        self.n_inputs += 1
+        self._depth.append(0)
         return LC({idx: 1})
 
-    def alloc_public(self, values) -> LC:
-        return self.alloc(values, public=True)
+    # -- tape ops -----------------------------------------------------------
 
-    # -- evaluation -----------------------------------------------------
+    def _lc_depth(self, lc: LC) -> int:
+        return max((self._depth[k] for k in lc.terms), default=0)
 
-    def eval(self, lc: LC) -> np.ndarray:
-        acc = np.zeros(self.S, dtype=object)
-        for k, v in lc.terms.items():
-            acc = acc + self.values[k] * v
-        return acc % P
+    def _alloc_wires(self, n: int, depth: int) -> int:
+        self._inputs_done = True
+        base = self.n_wires
+        self.n_wires += n
+        self._depth.extend([depth] * n)
+        return base
 
-    # -- constraints ----------------------------------------------------
+    def op_mul(self, a: LC, b: LC) -> LC:
+        """Witness wire w = a * b with constraint a * b = w."""
+        depth = 1 + max(self._lc_depth(a), self._lc_depth(b))
+        w = self._alloc_wires(1, depth)
+        self.tape.append(Op("mul", w, 1, (a, b), depth=depth))
+        wl = LC({w: 1})
+        self.enforce(a, b, wl)
+        return wl
+
+    def op_bits(self, x: LC, n: int) -> list[LC]:
+        """n boolean wires with sum(2^i b_i) = x. x's value must fit n bits."""
+        depth = 1 + self._lc_depth(x)
+        base = self._alloc_wires(n, depth)
+        self.tape.append(Op("bits", base, n, (x,), meta=n, depth=depth))
+        bits = [LC({base + i: 1}) for i in range(n)]
+        for b in bits:
+            self.enforce(b, b - LC.const(1), LC())
+        recomposed = LC({base + i: (1 << i) % P for i in range(n)})
+        self.enforce_equal(recomposed, x)
+        return bits
+
+    def op_iszero(self, x: LC) -> LC:
+        """Boolean wire z = (x == 0); allocates helper wire inv = x^{-1} or 0."""
+        depth = 1 + self._lc_depth(x)
+        base = self._alloc_wires(2, depth)  # [inv, z]
+        self.tape.append(Op("iszero", base, 2, (x,), depth=depth))
+        inv, z = LC({base: 1}), LC({base + 1: 1})
+        self.enforce(x, inv, LC.const(1) - z)  # x*inv = 1 - z
+        self.enforce(x, z, LC())  # x*z = 0
+        return z
+
+    # -- constraints ------------------------------------------------------
 
     def enforce(self, a: LC, b: LC, c: LC):
         self.a_rows.append(dict(a.terms))
@@ -167,40 +270,23 @@ class Builder:
     def enforce_equal(self, a: LC, b: LC):
         self.enforce_zero(a - b)
 
-    def mul(self, a: LC, b: LC) -> LC:
-        """Witness wire w = a * b with constraint a * b = w."""
-        prod = (self.eval(a) * self.eval(b)) % P
-        w = self.alloc(prod)
-        self.enforce(a, b, w)
-        return w
+    # -- finalize -----------------------------------------------------------
 
-    # -- finalize -------------------------------------------------------
-
-    def finalize(self) -> R1CS:
-        """Permute wires to [const, publics..., witness...] and freeze."""
-        n = len(self.values)
-        pub_idx = [i for i in range(1, n) if self.public_flags[i]]
-        wit_idx = [i for i in range(1, n) if not self.public_flags[i]]
-        old_to_new = {0: 0}
-        for new, old in enumerate(pub_idx, start=1):
-            old_to_new[old] = new
-        for new, old in enumerate(wit_idx, start=1 + len(pub_idx)):
-            old_to_new[old] = new
-
-        def remap(rows):
-            return [
-                {old_to_new[k]: v for k, v in row.items()} for row in rows
-            ]
-
-        witness = np.zeros((self.S, n), dtype=object)
-        for old in range(n):
-            witness[:, old_to_new[old]] = self.values[old]
-
+    def finalize(self, inputs: np.ndarray) -> R1CS:
+        """Freeze structure; `inputs` is (S, n_inputs) object ints (publics
+        first), giving the values of wires 1..n_inputs for every fold step."""
+        inputs = np.asarray(inputs, dtype=object) % P
+        assert inputs.ndim == 2 and inputs.shape[1] == self.n_inputs, (
+            inputs.shape,
+            self.n_inputs,
+        )
         return R1CS(
-            n_pub=len(pub_idx),
-            n_wires=n,
-            a_rows=remap(self.a_rows),
-            b_rows=remap(self.b_rows),
-            c_rows=remap(self.c_rows),
-            witness=witness,
+            n_pub=self.n_pub,
+            n_inputs=self.n_inputs,
+            n_wires=self.n_wires,
+            a_rows=self.a_rows,
+            b_rows=self.b_rows,
+            c_rows=self.c_rows,
+            tape=self.tape,
+            inputs=inputs,
         )

@@ -1,55 +1,24 @@
 """R1CS gadget library: range checks, comparisons, selection, Poseidon.
 
 Gadgets mirror the *semantics* of the reference's constraint helpers
-(arkworks-small-values-ops: abs_diff / min / max / le / enforce_in_bound /
-one_hot_encode, and circomlib templates), with layouts designed fresh for
-this framework. Every gadget works on `VLC` pairs (linear combination +
-batched values) so witness values flow alongside constraint construction
-without re-evaluating LCs.
+(arkworks-small-values-ops: abs_diff / min / max / le, and circomlib
+templates), with layouts designed fresh for this framework. Gadgets operate
+purely on linear combinations (`LC`); witness values are produced later by
+the batched device tape executor (r1cs/witness.py), so no Python-int math
+happens per fold step during synthesis.
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
-
-import numpy as np
 
 from vimz_tpu.r1cs.builder import LC, Builder, P
 from vimz_tpu.poseidon.params import PoseidonParams, circomlib_params
 
 
-@dataclass
-class VLC:
-    """A linear combination together with its batched value vector."""
-
-    lc: LC
-    vals: np.ndarray  # (S,) object ints
-
-    def __add__(self, other: "VLC") -> "VLC":
-        return VLC(self.lc + other.lc, (self.vals + other.vals) % P)
-
-    def __sub__(self, other: "VLC") -> "VLC":
-        return VLC(self.lc - other.lc, (self.vals - other.vals) % P)
-
-    def scale(self, c: int) -> "VLC":
-        c %= P
-        return VLC(self.lc.scale(c), (self.vals * c) % P)
-
-    def add_const(self, c: int) -> "VLC":
-        c %= P
-        return VLC(self.lc + LC.const(c), (self.vals + c) % P)
+def vconst(c: int) -> LC:
+    return LC.const(c)
 
 
-def vconst(b: Builder, c: int) -> VLC:
-    return VLC(LC.const(c), np.full(b.S, c % P, dtype=object))
-
-
-def valloc(b: Builder, vals, public: bool = False) -> VLC:
-    vals = np.asarray(vals, dtype=object) % P
-    return VLC(b.alloc(vals, public=public), vals)
-
-
-def vsum(items) -> VLC:
+def vsum(items) -> LC:
     items = list(items)
     out = items[0]
     for x in items[1:]:
@@ -57,80 +26,66 @@ def vsum(items) -> VLC:
     return out
 
 
-def mul(b: Builder, x: VLC, y: VLC) -> VLC:
-    prod = (x.vals * y.vals) % P
-    w = b.alloc(prod)
-    b.enforce(x.lc, y.lc, w)
-    return VLC(w, prod)
+def mul(b: Builder, x: LC, y: LC) -> LC:
+    return b.op_mul(x, y)
 
 
-def enforce_equal(b: Builder, x: VLC, y: VLC):
-    b.enforce_equal(x.lc, y.lc)
+def enforce_equal(b: Builder, x: LC, y: LC):
+    b.enforce_equal(x, y)
 
 
-def enforce_bool(b: Builder, x: VLC):
-    b.enforce(x.lc, x.lc - LC.const(1), LC())
+def enforce_bool(b: Builder, x: LC):
+    b.enforce(x, x - LC.const(1), LC())
 
 
-def to_bits(b: Builder, x: VLC, n: int) -> list[VLC]:
-    """Allocate n boolean wires with sum(2^i b_i) = x. Values must fit n bits."""
-    bits = []
-    for i in range(n):
-        bv = (x.vals >> i) & 1
-        w = valloc(b, bv)
-        enforce_bool(b, w)
-        bits.append(w)
-    recomposed = vsum(bit.scale(1 << i) for i, bit in enumerate(bits))
-    b.enforce_equal(recomposed.lc, x.lc)
-    return bits
+def to_bits(b: Builder, x: LC, n: int) -> list[LC]:
+    """n boolean wires with sum(2^i b_i) = x. Values must fit n bits."""
+    return b.op_bits(x, n)
 
 
-def from_bits(bits: list[VLC]) -> VLC:
+def from_bits(bits: list[LC]) -> LC:
     return vsum(bit.scale(1 << i) for i, bit in enumerate(bits))
 
 
-def le(b: Builder, x: VLC, y: VLC, n: int) -> VLC:
+def le(b: Builder, x: LC, y: LC, n: int) -> LC:
     """Boolean (x <= y), for x, y < 2^n. Decomposes y - x + 2^n into n+1 bits;
     the top bit is the result (same trick as arkworks-small-values-ops `le`)."""
-    d = y - x
-    d = d.add_const(1 << n)
+    d = (y - x).add_const(1 << n)
     bits = to_bits(b, d, n + 1)
     return bits[n]
 
 
-def select(b: Builder, cond: VLC, x: VLC, y: VLC) -> VLC:
+def select(b: Builder, cond: LC, x: LC, y: LC) -> LC:
     """cond ? x : y (cond boolean)."""
     return mul(b, cond, x - y) + y
 
 
-def abs_diff(b: Builder, x: VLC, y: VLC, n: int) -> VLC:
+def abs_diff(b: Builder, x: LC, y: LC, n: int) -> LC:
     """|x - y| for x, y < 2^n (reference: arkworks-small-values-ops abs_diff)."""
     geq = le(b, y, x, n)  # x >= y
     sign = geq.scale(2).add_const(P - 1)  # 2*geq - 1 in {1, -1}
-    diff_vals = np.where(geq.vals == 1, (x.vals - y.vals) % P, (y.vals - x.vals) % P)
-    d = valloc(b, diff_vals)
-    b.enforce(x.lc - y.lc, sign.lc, d.lc)
+    d = mul(b, x - y, sign)
     to_bits(b, d, n)
     return d
 
 
-def enforce_le_const(b: Builder, x: VLC, bound: int, n: int):
+def enforce_le_const(b: Builder, x: LC, bound: int, n: int):
     """x <= bound, for x < 2^n (bound static)."""
-    r = le(b, x, vconst(b, bound), n)
-    b.enforce_equal(r.lc, LC.const(1))
+    r = le(b, x, vconst(bound), n)
+    b.enforce_equal(r, LC.const(1))
 
 
-def vmin(b: Builder, x: VLC, y: VLC, n: int) -> VLC:
+def vmin(b: Builder, x: LC, y: LC, n: int) -> LC:
     c = le(b, x, y, n)
     return select(b, c, x, y)
 
 
-def vmax(b: Builder, x: VLC, y: VLC, n: int) -> VLC:
+def vmax(b: Builder, x: LC, y: LC, n: int) -> LC:
     c = le(b, x, y, n)
     return select(b, c, y, x)
 
 
-def saturating_sub(b: Builder, x: VLC, y: VLC, n: int) -> VLC:
+def saturating_sub(b: Builder, x: LC, y: LC, n: int) -> LC:
     """max(x - y, 0) for x, y < 2^n (reference: saturating_sub in contrast)."""
     geq = le(b, y, x, n)  # x >= y
     diff = mul(b, geq, x - y)
@@ -138,17 +93,9 @@ def saturating_sub(b: Builder, x: VLC, y: VLC, n: int) -> VLC:
     return diff
 
 
-def is_zero(b: Builder, x: VLC) -> VLC:
+def is_zero(b: Builder, x: LC) -> LC:
     """Boolean (x == 0): standard inverse trick."""
-    inv_vals = np.array(
-        [0 if v == 0 else pow(int(v), P - 2, P) for v in x.vals], dtype=object
-    )
-    z_vals = np.where(x.vals == 0, 1, 0).astype(object)
-    inv = valloc(b, inv_vals)
-    z = valloc(b, z_vals)
-    b.enforce(x.lc, inv.lc, LC.const(1) - z.lc)  # x*inv = 1 - z
-    b.enforce(x.lc, z.lc, LC())  # x*z = 0
-    return z
+    return b.op_iszero(x)
 
 
 # ----------------------------------------------------------------------
@@ -156,38 +103,36 @@ def is_zero(b: Builder, x: VLC) -> VLC:
 # ----------------------------------------------------------------------
 
 
-def decompress_word_bytes(b: Builder, word: VLC, n_bytes: int = 30) -> list[VLC]:
-    """Packed word -> n_bytes little-endian byte values (each range-checked).
+def decompress_word_bytes(b: Builder, word: LC, n_bytes: int = 30) -> list[LC]:
+    """Packed word -> n_bytes little-endian byte LCs over one bit decomposition.
 
-    Constraint: word == sum(byte_i * 2^(8i)); bytes bit-decomposed. This is
-    the sound core of the reference's Decompressor
-    (circuits/src/utils/pixels.circom:6-47) / decompress_pixels
-    (arkworks compression.rs:12-41).
-    """
-    bytes_ = []
-    for i in range(n_bytes):
-        bv = (word.vals >> (8 * i)) & 255
-        byte = valloc(b, bv)
-        to_bits(b, byte, 8)
-        bytes_.append(byte)
-    packed = vsum(byte.scale(1 << (8 * i)) for i, byte in enumerate(bytes_))
-    b.enforce_equal(packed.lc, word.lc)
-    return bytes_
+    The bit decomposition's recomposition equality IS the packing constraint
+    (sound core of the reference's Decompressor,
+    circuits/src/utils/pixels.circom:6-47 / decompress_pixels,
+    arkworks compression.rs:12-41)."""
+    bits = to_bits(b, word, 8 * n_bytes)
+    return [
+        vsum(bits[8 * i + j].scale(1 << j) for j in range(8)) for i in range(n_bytes)
+    ]
 
 
-def word_to_pixels(b: Builder, word: VLC) -> list[tuple[VLC, VLC, VLC]]:
+def word_to_pixels(b: Builder, word: LC) -> list[tuple[LC, LC, LC]]:
     """Packed word -> 10 (r, g, b) byte triples."""
     bytes_ = decompress_word_bytes(b, word)
     return [(bytes_[3 * i], bytes_[3 * i + 1], bytes_[3 * i + 2]) for i in range(10)]
 
 
-def word_to_gray_values(b: Builder, word: VLC) -> list[VLC]:
+def word_to_gray_values(b: Builder, word: LC) -> list[LC]:
     """Packed word -> 10 24-bit luma values (semantics of DecompressorGray /
     decompress_grayscale: each pixel slot is one 24-bit value)."""
     bytes_ = decompress_word_bytes(b, word)
     out = []
     for i in range(10):
-        v = bytes_[3 * i] + bytes_[3 * i + 1].scale(1 << 8) + bytes_[3 * i + 2].scale(1 << 16)
+        v = (
+            bytes_[3 * i]
+            + bytes_[3 * i + 1].scale(1 << 8)
+            + bytes_[3 * i + 2].scale(1 << 16)
+        )
         out.append(v)
     return out
 
@@ -203,7 +148,7 @@ class PoseidonGadget:
     def __init__(self, params: PoseidonParams):
         self.params = params
 
-    def permute(self, b: Builder, state: list[VLC]) -> list[VLC]:
+    def permute(self, b: Builder, state: list[LC]) -> list[LC]:
         p = self.params
         t = p.t
         half = p.full_rounds // 2
@@ -219,7 +164,7 @@ class PoseidonGadget:
         return state
 
     @staticmethod
-    def _sbox(b: Builder, x: VLC) -> VLC:
+    def _sbox(b: Builder, x: LC) -> LC:
         x2 = mul(b, x, x)
         x4 = mul(b, x2, x2)
         return mul(b, x4, x)
@@ -234,14 +179,14 @@ def circom_gadget(n_inputs: int) -> PoseidonGadget:
     return _GADGETS[n_inputs]
 
 
-def poseidon_hash(b: Builder, inputs: list[VLC]) -> VLC:
+def poseidon_hash(b: Builder, inputs: list[LC]) -> LC:
     """circomlib Poseidon(n): state [0, inputs...], one permutation, out[0]."""
     g = circom_gadget(len(inputs))
-    state = [vconst(b, 0)] + list(inputs)
+    state = [vconst(0)] + list(inputs)
     return g.permute(b, state)[0]
 
 
-def window_fold_hash(b: Builder, words: list[VLC]) -> VLC:
+def window_fold_hash(b: Builder, words: list[LC]) -> LC:
     """circom ArrayHasher window-8 fold over a word row
     (circuits/src/utils/hashers.circom:40-74, incl. the numRounds quirk)."""
     L = len(words)
@@ -257,6 +202,6 @@ def window_fold_hash(b: Builder, words: list[VLC]) -> VLC:
     return h
 
 
-def head_tail_hash(b: Builder, acc: VLC, words: list[VLC]) -> VLC:
+def head_tail_hash(b: Builder, acc: LC, words: list[LC]) -> LC:
     """circom HeadTailHasher: Poseidon2(acc, ArrayHasher(words))."""
     return poseidon_hash(b, [acc, window_fold_hash(b, words)])
