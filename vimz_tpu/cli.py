@@ -31,6 +31,13 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    # Persistent XLA compile cache: the limb/EC kernels are compile-heavy
+    # (minutes on first use); reuse compiled artifacts across CLI runs.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-vimz")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from vimz_tpu.folding import FoldingVerifier
     from vimz_tpu.pipeline.input import Resolution, Transformation, VIMzInput
     from vimz_tpu.pipeline import prover as pp
