@@ -9,6 +9,9 @@ separately on real TPU hardware via bench.py.
 
 import os
 
+# Circuit/chain-divergence canary in synthesize() (see circuits/spec.py).
+os.environ.setdefault("VIMZ_DEBUG_CHECK", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -17,7 +20,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the limb/EC kernels are compile-heavy; reuse
-# compiled artifacts across test runs. (Keyed by backend + machine, so a
-# cache built elsewhere is never loaded here.)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-vimz")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# compiled artifacts across test runs. Keyed per host CPU (foreign CPU AOT
+# entries segfault — see vimz_tpu.utils.backend.compile_cache_dir).
+from vimz_tpu.utils.backend import enable_compile_cache
+
+enable_compile_cache("cpu")

@@ -90,13 +90,37 @@ def _ints(limbs) -> np.ndarray:
     return FR_LIMBS.from_limbs_mont(np.asarray(limbs))
 
 
+# Below this many Poseidon permutations the pure-Python path beats paying an
+# XLA compile for the (often unique) tiny shape — crucial for tests and the
+# driver's multi-chip dry run, where every image is a handful of rows.
+_HOST_HASH_PERMS = int(__import__("os").environ.get("VIMZ_HOST_HASH_PERMS", "512"))
+
+
+def _n_perms(words: np.ndarray) -> int:
+    S, L = words.shape
+    return S * ((L + 7) // 8 + 1)
+
+
 def _row_chain(words: np.ndarray) -> np.ndarray:
     """(S, L) packed words -> (S+1,) running-hash chain (object ints)."""
+    if _n_perms(words) <= _HOST_HASH_PERMS:
+        from vimz_tpu.poseidon.pyref import circom_array_hash, circom_poseidon
+
+        accs = [0]
+        for row in words:
+            accs.append(circom_poseidon([accs[-1], circom_array_hash([int(w) for w in row])]))
+        return np.array(accs, dtype=object)
     return _ints(_hasher().chain_circom(_words_to_mont(words)))
 
 
 def _row_folds(words: np.ndarray) -> np.ndarray:
     """(S, L) packed words -> (S,) window-fold hashes (object ints)."""
+    if _n_perms(words) <= _HOST_HASH_PERMS:
+        from vimz_tpu.poseidon.pyref import circom_array_hash
+
+        return np.array(
+            [circom_array_hash([int(w) for w in row]) for row in words], dtype=object
+        )
     return _ints(_hasher().array_hash_circom(_words_to_mont(words)))
 
 
@@ -526,9 +550,12 @@ _STRUCTURES: dict[tuple, Builder] = {}
 
 def build_structure(transformation: Transformation, n_ext: int, ctx: dict) -> Builder:
     """Build (or load from cache) the constraint structure + witness tape."""
+    from vimz_tpu.utils.cache import disk_load, disk_save, source_fingerprint
+
     spec = CIRCUITS[transformation]
     key = (
         STRUCTURE_VERSION,
+        source_fingerprint(),
         transformation.value,
         spec.state_len,
         n_ext,
@@ -536,8 +563,6 @@ def build_structure(transformation: Transformation, n_ext: int, ctx: dict) -> Bu
     )
     if key in _STRUCTURES:
         return _STRUCTURES[key]
-
-    from vimz_tpu.utils.cache import disk_load, disk_save
 
     cached = disk_load(key)
     if cached is not None:
@@ -570,13 +595,29 @@ def synthesize(
     Returns an R1CS whose public IO per step is x = [z_i..., z_{i+1}...];
     witness values are computed lazily on device (R1CS.w_mont()).
     """
+    from vimz_tpu.utils.tracing import span
+
     spec = CIRCUITS[transformation]
     ctx = ctx or {}
-    step_inputs = prepare_step_inputs(transformation, inp, resolution, steps)
+    with span("prepare_step_inputs"):
+        step_inputs = prepare_step_inputs(transformation, inp, resolution, steps)
     S = step_inputs.shape[0]
-    chain = spec.compute_chain(inp, resolution, steps, ctx)
+    with span("compute_chain", steps=S):
+        chain = spec.compute_chain(inp, resolution, steps, ctx)
     assert chain.shape == (S + 1, spec.state_len), (chain.shape, S)
 
-    b = build_structure(transformation, step_inputs.shape[1], ctx)
-    inputs = np.concatenate([chain[:-1], chain[1:], step_inputs], axis=1)
-    return b.finalize(inputs)
+    with span("build_structure"):
+        b = build_structure(transformation, step_inputs.shape[1], ctx)
+    with span("finalize"):
+        inputs = np.concatenate([chain[:-1], chain[1:], step_inputs], axis=1)
+        r1cs = b.finalize(inputs)
+    if __import__("os").environ.get("VIMZ_DEBUG_CHECK"):
+        # Cheap circuit/chain-divergence canary: execute the tape for one
+        # sampled step and check plain R1CS satisfaction. A divergence
+        # otherwise only surfaces as a late, hard-to-localize verification
+        # failure. Enabled in tests (conftest) via VIMZ_DEBUG_CHECK=1.
+        assert r1cs.check_satisfied(rows=[S // 2]), (
+            f"{transformation}: in-circuit state update disagrees with the "
+            "host-computed chain on the sampled step"
+        )
+    return r1cs

@@ -25,18 +25,34 @@ def parse_args(argv=None):
     p.add_argument("--source-image", help="PNG to check the final source hash against")
     p.add_argument("--target-image", help="PNG to check the final target hash against")
     p.add_argument("--no-verify", action="store_true", help="skip verification (bench mode)")
+    p.add_argument(
+        "--compress",
+        action="store_true",
+        help="compress the final instance with the Spartan-style SNARK "
+        "(the reference's CompressedSNARK/decider stage)",
+    )
+    p.add_argument(
+        "--device",
+        choices=["default", "cpu"],
+        default="default",
+        help="compute device; 'cpu' forces the host backend (small inputs, CI)",
+    )
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
 
+    from vimz_tpu.utils.backend import enable_compile_cache, force_cpu
+
+    if args.device == "cpu":
+        force_cpu()
+
     # Persistent XLA compile cache: the limb/EC kernels are compile-heavy
     # (minutes on first use); reuse compiled artifacts across CLI runs.
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-vimz")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache(jax.default_backend())
 
     from vimz_tpu.folding import FoldingVerifier
     from vimz_tpu.pipeline.input import Resolution, Transformation, VIMzInput
@@ -48,11 +64,15 @@ def main(argv=None):
 
     print(f"vimz-tpu: proving {transformation.value} @ {resolution.value}"
           f"{' (demo)' if args.demo else ''}")
-    result = pp.prove(transformation, inp, resolution, demo=args.demo, progress=True)
+    result = pp.prove(
+        transformation, inp, resolution, demo=args.demo, progress=True,
+        compress=args.compress,
+    )
     print(f"  synthesize: {result.timings['synthesize_s']:.2f}s"
           f"  setup: {result.timings['setup_s']:.2f}s"
           f"  fold: {result.timings['fold_s']:.2f}s")
     print(f"  constraints/step: {result.n_constraints}  wires/step: {result.n_wires}")
+    print(f"  proof size: {result.proof.size_bytes()} bytes")
 
     if not args.no_verify:
         t0 = time.time()

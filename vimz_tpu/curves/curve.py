@@ -426,6 +426,23 @@ class BatchedCurve:
                 have = arrs["x"].shape[0]
             except Exception:
                 arrs, have = None, 0
+        if have:
+            # Integrity spot-check: a corrupted/hand-edited cache would
+            # silently change the commitment key (proofs unverifiable across
+            # machines with no diagnostic). Verify a few cached points
+            # against fresh derivation; re-derive everything on mismatch.
+            f = self.f
+            probe = sorted({0, have // 2, have - 1} & set(range(min(have, n))))
+            for i in probe:
+                want = self.ref.hash_to_point(seed, i)
+                z = int(f.from_limbs_mont(arrs["z"][i])[()])
+                x = int(f.from_limbs_mont(arrs["x"][i])[()])
+                y = int(f.from_limbs_mont(arrs["y"][i])[()])
+                zinv = pow(z, -1, f.p) if z else 0
+                got = (x * zinv * zinv % f.p, y * zinv * zinv % f.p * zinv % f.p)
+                if z == 0 or got != want:
+                    arrs, have = None, 0
+                    break
         if have < n:
             pts = [self.ref.hash_to_point(seed, i) for i in range(have, n)]
             fresh = {k: np_.asarray(v) for k, v in self.from_affine_ints(pts).items()}

@@ -196,45 +196,58 @@ class LimbField:
     # Multiplication
     # ------------------------------------------------------------------
 
+    # Static antidiagonal gather tables for the column-sum formulation of
+    # schoolbook multiplication: cols[k] = sum_j lo(a[k-j] * b[j])
+    #                                    + sum_j hi(a[k-j-1] * b[j]).
+    # One outer product + two constant-index gathers + a reduction — a single
+    # fused XLA kernel, instead of 16 unrolled dynamic-update-slice adds
+    # (which made every downstream kernel's HLO graph enormous and compile
+    # minutes-slow on small hosts).
     @staticmethod
-    def _mul_columns(a, b, ncols: int):
+    def _diag_tables(ncols: int):
+        j = np.arange(NLIMB)[:, None]
+        k = np.arange(ncols)[None, :]
+        idx_lo = k - j
+        ok_lo = (idx_lo >= 0) & (idx_lo < NLIMB)
+        idx_hi = k - j - 1
+        ok_hi = (idx_hi >= 0) & (idx_hi < NLIMB)
+        return (
+            jnp.asarray(np.clip(idx_lo, 0, NLIMB - 1)),
+            jnp.asarray(ok_lo.astype(np.uint32)),
+            jnp.asarray(np.clip(idx_hi, 0, NLIMB - 1)),
+            jnp.asarray(ok_hi.astype(np.uint32)),
+        )
+
+    @classmethod
+    def _mul_columns(cls, a, b, ncols: int):
         """Schoolbook product column sums of two (..., 16) limb arrays.
 
         Returns (..., ncols) uint32 columns of value a*b (each column < 2^21).
         """
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        acc = jnp.zeros(shape + (ncols,), dtype=jnp.uint32)
-        for j in range(NLIMB):
-            prod = a * b[..., j : j + 1]  # exact in uint32
-            acc = acc.at[..., j : j + NLIMB].add(prod & MASK)
-            acc = acc.at[..., j + 1 : j + 1 + NLIMB].add(prod >> LIMB_BITS)
-        return acc
+        idx_lo, ok_lo, idx_hi, ok_hi = cls._diag_tables(ncols)
+        prod = a[..., None, :] * b[..., :, None]  # (..., j, i) exact in uint32
+        lo, hi = prod & MASK, prod >> LIMB_BITS
+        g_lo = jnp.take_along_axis(lo, jnp.broadcast_to(idx_lo, lo.shape[:-1] + (ncols,)), axis=-1)
+        g_hi = jnp.take_along_axis(hi, jnp.broadcast_to(idx_hi, hi.shape[:-1] + (ncols,)), axis=-1)
+        return jnp.sum(g_lo * ok_lo + g_hi * ok_hi, axis=-2)
 
-    @staticmethod
-    def _mul_columns_acc(a, b, ncols: int):
+    @classmethod
+    def _mul_columns_acc(cls, a, b, ncols: int):
         """Column sums of sum_k a_k * b_k for (..., K, 16) stacks (K <= 2047)."""
         assert a.shape[-2] == b.shape[-2] or a.shape[-2] == 1 or b.shape[-2] == 1
         K = max(a.shape[-2], b.shape[-2])
         assert K <= 2047, "column sums would overflow uint32"
-        shape = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
-        acc = jnp.zeros(shape + (ncols,), dtype=jnp.uint32)
-        for j in range(NLIMB):
-            prod = a * b[..., j : j + 1]  # (..., K, 16)
-            acc = acc.at[..., j : j + NLIMB].add(jnp.sum(prod & MASK, axis=-2))
-            acc = acc.at[..., j + 1 : j + 1 + NLIMB].add(jnp.sum(prod >> LIMB_BITS, axis=-2))
-        return acc
+        idx_lo, ok_lo, idx_hi, ok_hi = cls._diag_tables(ncols)
+        prod = a[..., None, :] * b[..., :, None]  # (..., K, j, i)
+        lo, hi = prod & MASK, prod >> LIMB_BITS
+        g_lo = jnp.take_along_axis(lo, jnp.broadcast_to(idx_lo, lo.shape[:-1] + (ncols,)), axis=-1)
+        g_hi = jnp.take_along_axis(hi, jnp.broadcast_to(idx_hi, hi.shape[:-1] + (ncols,)), axis=-1)
+        return jnp.sum(g_lo * ok_lo + g_hi * ok_hi, axis=(-3, -2))
 
     def _low_mul(self, a, b):
         """(a * b) mod 2^256 over (..., 16) limb arrays -> (..., 16) limbs."""
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        acc = jnp.zeros(shape + (NLIMB,), dtype=jnp.uint32)
-        for j in range(NLIMB):
-            width = NLIMB - j
-            prod = a[..., :width] * b[..., j : j + 1]
-            acc = acc.at[..., j:].add(prod & MASK)
-            if width > 1:
-                acc = acc.at[..., j + 1 :].add((prod >> LIMB_BITS)[..., : width - 1])
-        return self._carry_propagate(acc, NLIMB)
+        cols = self._mul_columns(a, b, NLIMB)
+        return self._carry_propagate(cols, NLIMB)
 
     def _redc(self, cols, nsub: int):
         """Montgomery reduction of product column sums -> (..., 16) limbs < p.
@@ -277,6 +290,25 @@ class LimbField:
 
     def square(self, a):
         return self.mul(a, a)
+
+    def sum_reduce(self, a, axis: int = -2):
+        """Modular sum over one axis: (..., N, ..., 16) -> (..., ..., 16).
+
+        Pairwise log-depth tree of `add` (2N limb-adds total) — used by the
+        sumcheck prover to collapse evaluation tables.
+        """
+        a = jnp.moveaxis(a, axis, -2)
+        n = a.shape[-2]
+        if n == 0:
+            return jnp.zeros(a.shape[:-2] + (NLIMB,), dtype=jnp.uint32)
+        np2 = 1 << max(0, (n - 1).bit_length())
+        if np2 != n:
+            pad = jnp.zeros(a.shape[:-2] + (np2 - n, NLIMB), dtype=jnp.uint32)
+            a = jnp.concatenate([a, pad], axis=-2)
+        while np2 > 1:
+            a = self.add(a[..., 0::2, :], a[..., 1::2, :])
+            np2 //= 2
+        return a[..., 0, :]
 
     # ------------------------------------------------------------------
     # Exponentiation / inversion (Montgomery form in -> Montgomery form out)

@@ -68,6 +68,42 @@ def _pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+class _RowStore:
+    """Row-partitioned device array with progressive release.
+
+    Holds a logical (N, ...) array as a list of row chunks so consumed
+    prefixes can be freed (JAX arrays are immutable; slicing keeps the parent
+    buffer alive — chunking is the only way to cap peak HBM through the fold
+    tree).
+    """
+
+    def __init__(self, chunks: list):
+        self.chunks = list(chunks)
+        self.sizes = [c.shape[0] for c in self.chunks]
+
+    @property
+    def n(self) -> int:
+        return sum(self.sizes)
+
+    def gather(self, lo: int, hi: int):
+        parts = []
+        pos = 0
+        for c, sz in zip(self.chunks, self.sizes):
+            a, b = max(lo - pos, 0), min(hi - pos, sz)
+            if a < b:
+                assert c is not None, "gather from released chunk"
+                parts.append(c[a:b])
+            pos += sz
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    def release_below(self, upto: int):
+        pos = 0
+        for i, sz in enumerate(self.sizes):
+            if pos + sz <= upto:
+                self.chunks[i] = None
+            pos += sz
+
+
 @dataclass
 class FoldProof:
     state_len: int
@@ -76,12 +112,21 @@ class FoldProof:
     leaf_comm_w: list  # S affine points / None
     node_comm_t: list  # per level: list of affine comm_T (real-real pairs only)
     u_final: int
-    w_final: np.ndarray  # (n_wit,) object ints
-    e_final: np.ndarray  # (n_constraints,) object ints
+    # Uncompressed mode: the folded witness/error vectors in the clear.
+    w_final: np.ndarray | None = None  # (n_wit,) object ints
+    e_final: np.ndarray | None = None  # (n_constraints,) object ints
+    # Compressed mode: a Spartan-style proof of the final instance instead
+    # (the reference's CompressedSNARK stage, nova_snark_backend/mod.rs:52-67).
+    spartan: object = None
 
     def size_bytes(self) -> int:
         pts = len(self.leaf_comm_w) + sum(len(l) for l in self.node_comm_t)
-        return pts * 64 + (len(self.w_final) + len(self.e_final) + len(self.x_rows.ravel())) * 32
+        n = pts * 64 + len(self.x_rows.ravel()) * 32
+        if self.w_final is not None:
+            n += (len(self.w_final) + len(self.e_final)) * 32
+        if self.spartan is not None:
+            n += self.spartan.size_bytes()
+        return n
 
 
 class _FoldCore:
@@ -250,6 +295,11 @@ class _FoldCore:
             e1, f.add(f.mul(T, r_mont[:, None, :]), f.mul(e2, r2_mont[:, None, :]))
         )
 
+    @partial(jax.jit, static_argnums=0)
+    def _fold_e0_kernel(self, T, r_mont):
+        """Level-0 E fold: children have E = 0, so E' = r * T."""
+        return self.f.mul(T, r_mont[:, None, :])
+
     def _chunked3(self, fn, arrays, rs_list):
         """Apply fn(*chunks) over the leading axis in fixed-size chunks."""
         k = arrays[0].shape[0]
@@ -273,165 +323,242 @@ class _FoldCore:
 
 
 class FoldingProver(_FoldCore):
-    def prove(self, r1cs: R1CS, progress: bool = False) -> FoldProof:
+    """Tree-fold prover with a chunked memory plan.
+
+    All multi-GB state (step witnesses Z, error vectors E) lives in
+    `_RowStore` chunk lists: leaves are produced in ~128-step chunks
+    (witness tape + commitment per chunk), each tree level folds pair-chunks
+    and releases consumed child chunks immediately, and the level-0 E is
+    never materialized (identically zero -> E' = r*T at level 1). This keeps
+    peak HBM near 2x the live Z level instead of 4-5x, which is what lets an
+    HD proof (720 x ~150k wires x 16 limbs) fit a 16 GB chip.
+    """
+
+    def prove(
+        self, r1cs: R1CS, progress: bool = False, compress: bool = False
+    ) -> FoldProof:
+        import jax as _jax
+
+        from vimz_tpu.r1cs.witness import execute_tape
+        from vimz_tpu.utils.tracing import span
+
         f, d = self.f, self.d
         S = r1cs.S
-        Sp = _pow2(S)
         state_len = r1cs.n_pub // 2
-        nw, nc = d.n_wires, d.n_constraints
+        nc = d.n_constraints
+        bases_c = _index_points(self.bases, slice(0, nc))
 
-        # Full Z rows (u=1) in Montgomery form, computed on device by the
-        # batched witness tape executor; padded with zero instances to Sp.
-        z_real = r1cs.w_mont()
-        w_std = f.from_mont(z_real[:, 1 + d.n_pub :])
+        # --- leaf stage: witness tape + commitments, chunked over steps ---
+        CS = 2 * self.PAIR_CHUNK
+        z_parts, comm_parts = [], []
+        with span("leaf_stage", steps=S, wires=d.n_wires):
+            for a in range(0, S, CS):
+                b = min(a + CS, S)
+                z_c = execute_tape(r1cs, a, b)
+                w_std_c = f.from_mont(z_c[:, 1 + d.n_pub : d.n_wires])
+                comm_parts.append(self.commit_witnesses(w_std_c))
+                z_parts.append(z_c)
+                if progress:
+                    print(f"  leaf chunk {a}:{b} done", flush=True)
+        z_store = _RowStore(z_parts)
+        e_store = None  # level-0 E is identically zero
+        comm_w = _concat_points(comm_parts)
+        comm_w_aff = self.to_affine(comm_w)
+        leaf_comm_w_aff = list(comm_w_aff)
+        comm_e = self.curve.infinity((S,))
 
-        # Leaf commitments (batched MSMs, bit/full class split).
-        comm_w_real = self.commit_witnesses(w_std)
-        comm_w_aff = self.to_affine(comm_w_real)
-
-        z_mont = jnp.concatenate(
-            [z_real, jnp.zeros((Sp - S, nw, 16), dtype=jnp.uint32)]
-        )
-        e_mont = jnp.zeros((Sp, nc, 16), dtype=jnp.uint32)
-        comm_w = self._pad_points(comm_w_real, Sp)
-        comm_e = self.curve.infinity((Sp,))
-
-        x_rows = np.zeros((Sp, d.n_pub), dtype=object)
-        x_rows[:S] = r1cs.inputs[:, : d.n_pub]
-        u_host = [1] * S + [0] * (Sp - S)
-        zd = self._zero_digest()
-        digests = instance_digests_batch(
-            [1] * S, x_rows[:S], comm_w_aff, [None] * S
-        ) + [zd] * (Sp - S)
+        x_rows = r1cs.inputs[:, : d.n_pub].copy()
+        u_host = [1] * S
+        digests = instance_digests_batch(u_host, x_rows, comm_w_aff, [None] * S)
 
         node_comm_t: list[list] = []
         active = S
-        m = Sp
-        while m > 1:
-            k = m // 2
-            nfull = active // 2
-            carry = active % 2
-            sl1, sl2 = slice(0, 2 * nfull, 2), slice(1, 2 * nfull, 2)
+        level = 0
+        while active > 1:
+            nfull, carry = active // 2, active % 2
+            cs = self._chunk_size(nfull)
+            comm_t_affs: list = []
+            rs_level: list[int] = []
+            new_z, new_e, cw_parts, ce_parts = [], [], [], []
+            with span("fold_level", level=level, pairs=nfull):
+                for pa in range(0, nfull, cs):
+                    pb = min(pa + cs, nfull)
+                    k = pb - pa
+                    pad = cs - k
+                    zseg = z_store.gather(2 * pa, 2 * pb)
+                    z1, z2 = zseg[0::2], zseg[1::2]
+                    if pad:
+                        zp = jnp.zeros((pad,) + z1.shape[1:], dtype=z1.dtype)
+                        z1 = jnp.concatenate([z1, zp])
+                        z2 = jnp.concatenate([z2, zp])
+                    u1 = jnp.asarray(f.to_limbs_mont(np.array(
+                        u_host[2 * pa : 2 * pb : 2] + [0] * pad, dtype=object)))
+                    u2 = jnp.asarray(f.to_limbs_mont(np.array(
+                        u_host[2 * pa + 1 : 2 * pb : 2] + [0] * pad, dtype=object)))
+                    T = d.cross_term(z1, u1, z2, u2)  # (cs, nc, 16)
+                    comm_t = self._msm_chunked(
+                        f.from_mont(T[:k]), bases_c, self.MSM_CHUNK
+                    )
+                    comm_t_aff = self.to_affine(comm_t)
+                    comm_t_affs.extend(comm_t_aff)
+                    rs = fold_challenges_batch(
+                        digests[2 * pa : 2 * pb : 2],
+                        digests[2 * pa + 1 : 2 * pb : 2],
+                        comm_t_aff,
+                    )
+                    rs_level.extend(rs)
+                    r_std, r_mont = self._r_limbs(rs + [0] * pad)
+                    new_z.append(self._fold_z_kernel(z1, z2, r_mont)[:k])
+                    if e_store is None:
+                        new_e.append(self._fold_e0_kernel(T, r_mont)[:k])
+                        ce_parts.append(self.curve.scalar_mul(r_std[:k], comm_t))
+                    else:
+                        eseg = e_store.gather(2 * pa, 2 * pb)
+                        e1, e2 = eseg[0::2], eseg[1::2]
+                        if pad:
+                            ep = jnp.zeros((pad,) + e1.shape[1:], dtype=e1.dtype)
+                            e1 = jnp.concatenate([e1, ep])
+                            e2 = jnp.concatenate([e2, ep])
+                        r2_std, r2_mont = self._r_limbs(
+                            [r * r % P for r in rs] + [0] * pad
+                        )
+                        new_e.append(
+                            self._fold_e_kernel(e1, T, e2, r_mont, r2_mont)[:k]
+                        )
+                        ce_parts.append(self.fold_comm_e(
+                            _index_points(comm_e, slice(2 * pa, 2 * pb, 2)),
+                            comm_t,
+                            _index_points(comm_e, slice(2 * pa + 1, 2 * pb, 2)),
+                            r_std[:k], r2_std[:k],
+                        ))
+                    cw_parts.append(self.fold_points(
+                        _index_points(comm_w, slice(2 * pa, 2 * pb, 2)),
+                        _index_points(comm_w, slice(2 * pa + 1, 2 * pb, 2)),
+                        r_std[:k],
+                    ))
+                    # free fully-consumed child chunks (carry row excluded:
+                    # it sits at index 2*nfull >= 2*pb)
+                    _jax.block_until_ready(new_z[-1])
+                    z_store.release_below(2 * pb)
+                    if e_store is not None:
+                        e_store.release_below(2 * pb)
 
-            # cross terms + commitments for real-real pairs only
-            if nfull:
-                u1_m = jnp.asarray(
-                    f.to_limbs_mont(np.array(u_host[0 : 2 * nfull : 2], dtype=object))
-                )
-                u2_m = jnp.asarray(
-                    f.to_limbs_mont(np.array(u_host[1 : 2 * nfull : 2], dtype=object))
-                )
-                T = self.cross_terms_chunked(z_mont[sl1], u1_m, z_mont[sl2], u2_m)
-                T_std = f.from_mont(T)
-                comm_t = self._msm_chunked(
-                    T_std, _index_points(self.bases, slice(0, nc)), self.MSM_CHUNK
-                )
-                comm_t_aff = self.to_affine(comm_t)
-            else:
-                T = jnp.zeros((0, nc, 16), dtype=jnp.uint32)
-                comm_t = self.curve.infinity((0,))
-                comm_t_aff = []
+                if carry:
+                    ci = 2 * nfull
+                    new_z.append(z_store.gather(ci, ci + 1))
+                    new_e.append(
+                        e_store.gather(ci, ci + 1)
+                        if e_store is not None
+                        else jnp.zeros((1, nc, 16), dtype=jnp.uint32)
+                    )
+                    cw_parts.append(_index_points(comm_w, slice(ci, ci + 1)))
+                    ce_parts.append(_index_points(comm_e, slice(ci, ci + 1)))
 
-            rs = (
-                fold_challenges_batch(
-                    digests[0 : 2 * nfull : 2], digests[1 : 2 * nfull : 2], comm_t_aff
-                )
-                if nfull
-                else []
-            )
-            if nfull:
-                r_std, r_mont = self._r_limbs(rs)
-                r2s = [r * r % P for r in rs]
-                r2_std, r2_mont = self._r_limbs(r2s)
+            z_store = _RowStore(new_z)
+            e_store = _RowStore(new_e)
+            comm_w = _concat_points(cw_parts)
+            comm_e = _concat_points(ce_parts)
 
-                z_fold = self._chunked3(
-                    self._fold_z_kernel, [z_mont[sl1], z_mont[sl2]], [r_mont]
-                )
-                e_fold = self._chunked3(
-                    self._fold_e_kernel,
-                    [e_mont[sl1], T, e_mont[sl2]],
-                    [r_mont, r2_mont],
-                )
-                cw_fold = self.fold_points(
-                    _index_points(comm_w, sl1), _index_points(comm_w, sl2), r_std
-                )
-                ce_fold = self.fold_comm_e(
-                    _index_points(comm_e, sl1), comm_t,
-                    _index_points(comm_e, sl2), r_std, r2_std,
-                )
-
-            # assemble next level: folded pairs, optional real-zero carry
-            # (identity fold), then zero instances
-            pieces_z, pieces_e, pieces_cw, pieces_ce = [], [], [], []
-            if nfull:
-                pieces_z.append(z_fold)
-                pieces_e.append(e_fold)
-                pieces_cw.append(cw_fold)
-                pieces_ce.append(ce_fold)
-            if carry:
-                ci = 2 * nfull
-                pieces_z.append(z_mont[ci : ci + 1])
-                pieces_e.append(e_mont[ci : ci + 1])
-                pieces_cw.append(_index_points(comm_w, slice(ci, ci + 1)))
-                pieces_ce.append(_index_points(comm_e, slice(ci, ci + 1)))
-            nz = k - nfull - carry
-            if nz:
-                pieces_z.append(jnp.zeros((nz, nw, 16), dtype=jnp.uint32))
-                pieces_e.append(jnp.zeros((nz, nc, 16), dtype=jnp.uint32))
-                pieces_cw.append(self.curve.infinity((nz,)))
-                pieces_ce.append(self.curve.infinity((nz,)))
-            z_mont = jnp.concatenate(pieces_z)
-            e_mont = jnp.concatenate(pieces_e)
-            comm_w = _concat_points(pieces_cw)
-            comm_e = _concat_points(pieces_ce)
-
-            u_next = [(u_host[2 * j] + rs[j] * u_host[2 * j + 1]) % P for j in range(nfull)]
+            u_next = [
+                (u_host[2 * j] + rs_level[j] * u_host[2 * j + 1]) % P
+                for j in range(nfull)
+            ]
             x_next = (
-                x_rows[sl1] + x_rows[sl2] * np.array(rs, dtype=object)[:, None]
+                x_rows[0 : 2 * nfull : 2]
+                + x_rows[1 : 2 * nfull : 2] * np.array(rs_level, dtype=object)[:, None]
             ) % P if nfull else np.zeros((0, d.n_pub), dtype=object)
             if carry:
                 u_next.append(u_host[2 * nfull])
                 x_next = np.concatenate([x_next, x_rows[2 * nfull : 2 * nfull + 1]])
-            if nz:
-                u_next.extend([0] * nz)
-                x_next = np.concatenate([x_next, np.zeros((nz, d.n_pub), dtype=object)])
 
-            n_active_next = nfull + carry
-            cw_aff = self.to_affine(_index_points(comm_w, slice(0, n_active_next)))
-            ce_aff = self.to_affine(_index_points(comm_e, slice(0, n_active_next)))
-            digests = instance_digests_batch(
-                u_next[:n_active_next], x_next[:n_active_next], cw_aff, ce_aff
-            ) + [zd] * nz
-
+            active = nfull + carry
+            cw_aff = self.to_affine(comm_w)
+            ce_aff = self.to_affine(comm_e)
+            digests = instance_digests_batch(u_next, x_next, cw_aff, ce_aff)
             u_host, x_rows = u_next, x_next
-            node_comm_t.append(comm_t_aff)
-            active = n_active_next
-            m = k
+            node_comm_t.append(comm_t_affs)
+            level += 1
             if progress:
-                print(f"  fold level done: {m} instances remain ({active} active)")
+                print(f"  fold level {level} done ({active} instances remain)", flush=True)
 
-        w_final = f.from_limbs_mont(np.asarray(z_mont[0, 1 + d.n_pub :]))
-        e_final = f.from_limbs_mont(np.asarray(e_mont[0]))
+        z_fin = z_store.gather(0, 1)[0]
+        e_fin = (
+            e_store.gather(0, 1)[0]
+            if e_store is not None
+            else jnp.zeros((nc, 16), dtype=jnp.uint32)
+        )
+
+        if compress:
+            from vimz_tpu.snark import SpartanProver
+
+            with span("compress_snark"):
+                sp = SpartanProver(d, self.curve)
+                cw_fin = self.to_affine(comm_w)[0]
+                ce_fin = self.to_affine(comm_e)[0]
+                spartan = sp.prove(
+                    u_host[0], list(x_rows[0]), cw_fin, ce_fin,
+                    z_fin[: d.n_wires], e_fin,
+                )
+            w_final = e_final = None
+        else:
+            spartan = None
+            w_final = f.from_limbs_mont(np.asarray(z_fin[1 + d.n_pub : d.n_wires]))
+            e_final = f.from_limbs_mont(np.asarray(e_fin))
 
         return FoldProof(
             state_len=state_len,
             steps=S,
             x_rows=r1cs.inputs[:, : d.n_pub].copy(),
-            leaf_comm_w=comm_w_aff,
+            leaf_comm_w=leaf_comm_w_aff,
             node_comm_t=node_comm_t,
             u_final=u_host[0],
             w_final=w_final,
             e_final=e_final,
+            spartan=spartan,
         )
 
 
 class FoldingVerifier(_FoldCore):
+    def _point_ok(self, pt) -> bool:
+        """Affine point sanity: None (infinity) or on-curve with reduced coords."""
+        if pt is None:
+            return True
+        x, y = pt
+        p = self.curve.ref.p
+        return 0 <= x < p and 0 <= y < p and self.curve.ref.is_on_curve(pt)
+
     def verify(self, proof: FoldProof, z0: list[int], zn: list[int]) -> bool:
         f, d = self.f, self.d
         S = proof.steps
         Sp = _pow2(S)
         sl_len = proof.state_len
+        # 0) shape/type validation of attacker-controlled proof components:
+        # wrong lengths must yield False, not IndexErrors or (via JAX's
+        # clamped out-of-bounds gathers) silently mis-bound commitments.
         if proof.x_rows.shape != (S, d.n_pub):
+            return False
+        if S < 1 or sl_len * 2 != d.n_pub:
+            return False
+        if len(proof.leaf_comm_w) != S:
+            return False
+        compressed = proof.spartan is not None
+        if not compressed:
+            if proof.w_final is None or proof.e_final is None:
+                return False
+            if len(proof.w_final) != self.n_wit or len(proof.e_final) != d.n_constraints:
+                return False
+            if any(not (0 <= int(v) < P) for v in proof.w_final):
+                return False
+            if any(not (0 <= int(v) < P) for v in proof.e_final):
+                return False
+        for pt in proof.leaf_comm_w:
+            if not self._point_ok(pt):
+                return False
+        for level in proof.node_comm_t:
+            for pt in level:
+                if not self._point_ok(pt):
+                    return False
+        if not (0 <= proof.u_final < P):
             return False
 
         # 1) state chaining on public IO
@@ -524,6 +651,18 @@ class FoldingVerifier(_FoldCore):
             level += 1
         if m != 1:
             return False
+        if proof.u_final != u_host[0]:
+            return False
+
+        if compressed:
+            # 3') compression SNARK over the tree-derived final instance
+            # (replaces the clear-witness opening + residual checks).
+            from vimz_tpu.snark import SpartanVerifier
+
+            cw_fin = self.to_affine(_index_points(comm_w, slice(0, 1)))[0]
+            ce_fin = self.to_affine(_index_points(comm_e, slice(0, 1)))[0]
+            sv = SpartanVerifier(self.d, self.curve)
+            return sv.verify(proof.spartan, u_host[0], list(x_rows[0]), cw_fin, ce_fin)
 
         # 3) final opening checks
         w_std = jnp.asarray(f.to_limbs(proof.w_final))

@@ -55,6 +55,9 @@ class DeviceR1CS:
             name: self._pack(rows)
             for name, rows in (("A", r1cs.a_rows), ("B", r1cs.b_rows), ("C", r1cs.c_rows))
         }
+        # kept for the lazily-built transpose packs (compression SNARK)
+        self._rows_src = {"A": r1cs.a_rows, "B": r1cs.b_rows, "C": r1cs.c_rows}
+        self._t_pack_A = self._t_pack_B = self._t_pack_C = None
 
     def _pack(self, rows: list[dict]):
         """Bucket rows by LC width, pad each bucket to whole blocks."""
@@ -90,6 +93,74 @@ class DeviceR1CS:
             )
         assert pos == len(rows), "row wider than the largest bucket"
         return tuple(buckets)
+
+    def _pack_transpose(self, name: str):
+        """Column-major ELL pack of one matrix (built lazily, cached).
+
+        Used by the compression SNARK's sumcheck #2, which needs
+        M^T q = (sum_r M[r, c] * q[r])_c. Columns are split into segments of
+        at most 2048 terms (the lazy-reduction bound); the kernel produces one
+        partial per segment and `matvec_t` combines multi-segment columns.
+        """
+        attr = f"_t_pack_{name}"
+        if getattr(self, attr, None) is not None:
+            return getattr(self, attr)
+        src = self._rows_src[name]
+        cols: dict[int, list] = {}
+        for r, row in enumerate(src):
+            for c, v in row.items():
+                cols.setdefault(c, []).append((r, v))
+        seg_rows: list[dict] = []
+        seg_col: list[int] = []
+        MAXW = 2048
+        for c in sorted(cols):
+            terms = cols[c]
+            for i in range(0, len(terms), MAXW):
+                seg_rows.append(dict(terms[i : i + MAXW]))
+                seg_col.append(c)
+        packed = self._pack(seg_rows)
+        # per-column segment gather table (n_wires, max_segs) into segment ids
+        seg_col = np.asarray(seg_col, dtype=np.int64)
+        n_segs = len(seg_rows)
+        counts = np.zeros(self.n_wires, dtype=np.int64)
+        for c in seg_col:
+            counts[c] += 1
+        max_segs = max(1, int(counts.max()) if len(counts) else 1)
+        # index n_segs = a zero dummy slot
+        table = np.full((self.n_wires, max_segs), n_segs, dtype=np.int32)
+        fill = np.zeros(self.n_wires, dtype=np.int64)
+        for s, c in enumerate(seg_col):
+            table[c, fill[c]] = s
+            fill[c] += 1
+        out = dict(
+            packed=packed,
+            n_segs=n_segs,
+            table=jnp.asarray(table),
+        )
+        setattr(self, attr, out)
+        return out
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def matvec_t(self, q_mont, name: str):
+        """q: (n_constraints, 16) Montgomery -> M^T q: (n_wires, 16)."""
+        f = self.f
+        tp = self._pack_transpose(name)
+        # Reuse the row kernel over segments: segment value = sum coeff * q[row].
+        partials = jnp.zeros((tp["n_segs"] + 1, 16), dtype=jnp.uint32)
+        for bk in tp["packed"]:
+            def one_block(args):
+                idx, coeff = args
+                gathered = q_mont[idx, :]
+                return f.mul_acc(coeff, gathered)
+
+            res = lax.map(one_block, (bk["idx"], bk["coeff"]))
+            res = res.reshape(-1, 16)[: bk["m"], :]
+            partials = partials.at[bk["rows"], :].set(res)
+        gathered = partials[tp["table"], :]  # (n_wires, max_segs, 16)
+        out = gathered[:, 0, :]
+        for s in range(1, gathered.shape[1]):
+            out = f.add(out, gathered[:, s, :])
+        return out
 
     @partial(jax.jit, static_argnums=(0, 2))
     def matvec(self, z_mont, name: str):

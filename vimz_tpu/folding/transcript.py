@@ -74,12 +74,17 @@ def batch_chain(init: int, values: np.ndarray) -> np.ndarray:
     Lanes are padded to a power of two so kernel shapes are reused across
     tree levels.
     """
+    B, L = values.shape
+    # Small batches: the pure-Python chain beats compiling a fresh device
+    # kernel shape (tests / dry runs / late tree levels).
+    if B * L <= 512:
+        return np.array([_chain(init, row) for row in values], dtype=object)
+
     import jax.numpy as jnp
     from jax import lax
 
     from vimz_tpu.fields.limbs import FR_LIMBS as f
 
-    B, L = values.shape
     Bp = _pow2(max(B, 8))
     vals = np.zeros((Bp, L), dtype=object)
     vals[:B] = values

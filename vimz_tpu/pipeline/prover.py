@@ -10,7 +10,7 @@ sequential prove_step loop.
 
 from __future__ import annotations
 
-import pickle
+
 import time
 from dataclasses import dataclass
 
@@ -41,6 +41,7 @@ def prove(
     demo: bool = False,
     ctx: dict | None = None,
     progress: bool = False,
+    compress: bool = False,
 ) -> ProveResult:
     steps = DEMO_STEPS if demo else None
     timings = {}
@@ -55,7 +56,7 @@ def prove(
     timings["setup_s"] = time.time() - t0
 
     t0 = time.time()
-    proof = prover.prove(r1cs, progress=progress)
+    proof = prover.prove(r1cs, progress=progress, compress=compress)
     timings["fold_s"] = time.time() - t0
 
     state_len = r1cs.n_pub // 2
@@ -93,19 +94,14 @@ def verify(
 
 
 def save_proof(result: ProveResult, path: str):
-    with open(path, "wb") as f:
-        pickle.dump(
-            {
-                "x_rows": result.proof.x_rows,
-                "leaf_comm_w": result.proof.leaf_comm_w,
-                "node_comm_t": result.proof.node_comm_t,
-                "u_final": result.proof.u_final,
-                "w_final": result.proof.w_final,
-                "e_final": result.proof.e_final,
-                "state_len": result.proof.state_len,
-                "steps": result.proof.steps,
-                "z0": result.z0,
-                "zn": result.zn,
-            },
-            f,
-        )
+    """Versioned hex-JSON proof artifact (proof files are attacker-supplied
+    inputs at verification time, so no pickle)."""
+    from vimz_tpu.pipeline.artifacts import save_proof_json
+
+    save_proof_json(path, result.proof, result.z0, result.zn)
+
+
+def load_proof(path: str):
+    from vimz_tpu.pipeline.artifacts import load_proof_json
+
+    return load_proof_json(path)

@@ -131,7 +131,11 @@ class R1CS:
         return self.inputs.shape[0]
 
     def w_mont(self):
-        """(S, n_wires, 16) uint32 Montgomery witness matrix on device."""
+        """(S, n_wires + 1, 16) uint32 Montgomery witness matrix on device.
+
+        The final column is the tape executor's scratch slot (never read);
+        kept to avoid copying the multi-GB buffer — index wires < n_wires.
+        """
         if self._w_mont is None:
             from vimz_tpu.r1cs.witness import execute_tape
 
@@ -144,7 +148,9 @@ class R1CS:
         if self._witness_host is None:
             from vimz_tpu.fields.limbs import FR_LIMBS
 
-            self._witness_host = FR_LIMBS.from_limbs_mont(np.asarray(self.w_mont()))
+            self._witness_host = FR_LIMBS.from_limbs_mont(
+                np.asarray(self.w_mont())
+            )[:, : self.n_wires]
         return self._witness_host
 
     @witness.setter

@@ -124,11 +124,14 @@ def _mul_stage(W, idxa, ca, idxb, cb, out):
 @partial(jax.jit, donate_argnums=0, static_argnums=6)
 def _bits_stage(W, idx, c, out, one_mont, zero16, n):
     x = F.from_mont(_eval_lc(W, idx, c))  # (S, L, 16) standard form
-    limb = x[..., jnp.arange(n) // 16]  # (S, L, n)
-    bit = (limb >> (jnp.arange(n) % 16)) & 1
-    vals = jnp.where(bit[..., None] == 1, one_mont, zero16)  # (S, L, n, 16)
-    S = W.shape[0]
-    return W.at[:, out.reshape(-1), :].set(vals.reshape(S, -1, 16))
+    # One scatter per bit position: materializing all n bit-wires at once
+    # ((S, L, n, 16)) is an HBM blow-up at HD scale (720 x 4096-lane bucket
+    # x 24 bits x 16 limbs = 18 GB) — the round-1 OOM.
+    for b in range(n):
+        bit = (x[..., b // 16] >> (b % 16)) & 1  # (S, L)
+        vals = jnp.where(bit[..., None] == 1, one_mont, zero16)  # (S, L, 16)
+        W = W.at[:, out[:, b], :].set(vals)
+    return W
 
 
 @partial(jax.jit, donate_argnums=0)
@@ -146,54 +149,47 @@ def _iszero_stage(W, idx, c, out, one_mont, zero16):
 # ----------------------------------------------------------------------
 
 
-def execute_tape(r1cs) -> jnp.ndarray:
-    """Compute the full witness matrix for every fold step on device.
-
-    Returns (S, n_wires, 16) uint32 Montgomery limbs: wire 0 = 1, wires
-    1..n_inputs = the provided inputs, remaining wires per the tape.
-    """
+def _device_stages(r1cs) -> list[dict]:
     stages = getattr(r1cs, "_stages", None)
     if stages is None:
-        stages = pack_stages(r1cs.tape, r1cs.n_wires)
+        packed = pack_stages(r1cs.tape, r1cs.n_wires)
+        stages = [
+            {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v) for k, v in st.items()}
+            for st in packed
+        ]
         r1cs._stages = stages
+    return stages
 
-    S = r1cs.inputs.shape[0]
+
+def execute_tape(r1cs, lo: int = 0, hi: int | None = None) -> jnp.ndarray:
+    """Compute the witness matrix for fold steps [lo, hi) on device.
+
+    Returns (hi-lo, n_wires + 1, 16) uint32 Montgomery limbs: wire 0 = 1,
+    wires 1..n_inputs = the provided inputs, remaining wires per the tape.
+    The final scratch column (index n_wires) is kept — slicing it off would
+    copy the multi-GB buffer; consumers index wires < n_wires and ignore it.
+
+    Callers chunk over steps (the fold prover uses ~128-step chunks) so the
+    peak per-stage gather intermediates stay bounded at HD/4K scale.
+    """
+    stages = _device_stages(r1cs)
+
+    if hi is None:
+        hi = r1cs.inputs.shape[0]
     n = r1cs.n_wires
     one_mont = jnp.asarray(F.one_mont)
     zero16 = jnp.zeros(16, dtype=jnp.uint32)
 
-    W = jnp.zeros((S, n + 1, 16), dtype=jnp.uint32)
+    W = jnp.zeros((hi - lo, n + 1, 16), dtype=jnp.uint32)
     W = W.at[:, 0, :].set(one_mont)
-    in_mont = F.to_mont(jnp.asarray(F.to_limbs(r1cs.inputs)))
+    in_mont = F.to_mont(jnp.asarray(F.to_limbs(r1cs.inputs[lo:hi])))
     W = W.at[:, 1 : 1 + r1cs.n_inputs, :].set(in_mont)
 
     for st in stages:
         if st["kind"] == "mul":
-            W = _mul_stage(
-                W,
-                jnp.asarray(st["idxa"]),
-                jnp.asarray(st["ca"]),
-                jnp.asarray(st["idxb"]),
-                jnp.asarray(st["cb"]),
-                jnp.asarray(st["out"]),
-            )
+            W = _mul_stage(W, st["idxa"], st["ca"], st["idxb"], st["cb"], st["out"])
         elif st["kind"] == "bits":
-            W = _bits_stage(
-                W,
-                jnp.asarray(st["idx"]),
-                jnp.asarray(st["c"]),
-                jnp.asarray(st["out"]),
-                one_mont,
-                zero16,
-                st["n"],
-            )
+            W = _bits_stage(W, st["idx"], st["c"], st["out"], one_mont, zero16, st["n"])
         else:
-            W = _iszero_stage(
-                W,
-                jnp.asarray(st["idx"]),
-                jnp.asarray(st["c"]),
-                jnp.asarray(st["out"]),
-                one_mont,
-                zero16,
-            )
-    return W[:, :n, :]
+            W = _iszero_stage(W, st["idx"], st["c"], st["out"], one_mont, zero16)
+    return W

@@ -1,0 +1,186 @@
+"""Inner-product argument (Bulletproofs-style) over BN254 G1.
+
+Proves, for a Pedersen vector commitment C = <a, G> and a public vector b,
+that <a, b> = v — the multilinear-PCS opening used by the compression SNARK
+(b is an eq() tensor vector, so <a, b> = A~(point)). log2(N) rounds, two
+curve points per round, one scalar at the end.
+
+The reference gets this from nova-snark's ipa_pc evaluation engine inside
+Spartan (vimz/src/nova_snark_backend/mod.rs:19-20 S<G1>/S<G2>); here it is
+re-built on the framework's batched Jacobian curve kernels: all per-round
+MSMs, point folds and vector folds are device-batched.
+
+Splitting convention matches the sumcheck: lo = first half (top index bit 0),
+hi = second half. Fold: a' = x*a_lo + xinv*a_hi, G' = xinv*G_lo + x*G_hi,
+b' = xinv*b_lo + x*b_hi, so <a', G'> and <a', b'> pick up x^{±2} cross terms
+collected in L/R.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from vimz_tpu.curves import BatchedCurve
+from vimz_tpu.fields.limbs import FR_LIMBS as F
+from vimz_tpu.fields.prime import P_FR as P
+from vimz_tpu.snark.transcript import Transcript
+
+IPA_SEED = b"vimz-tpu-ipa-q"
+
+
+def _mont(v: int):
+    return jnp.asarray(F.to_limbs_mont(np.array(v % P, dtype=object)))
+
+
+def _std(v: int):
+    return jnp.asarray(F.to_limbs(np.array(v % P, dtype=object)))
+
+
+def _inner(a_mont, b_mont):
+    """<a, b> over (N, 16) Montgomery arrays -> int (standard form)."""
+    # the product a_mont*b_mont carries exactly one Montgomery factor, which
+    # from_limbs_mont strips: mul(aR, bR) = abR.
+    s = F.sum_reduce(F.mul(a_mont, b_mont), axis=-2)
+    return int(F.from_limbs_mont(np.asarray(s))[()])
+
+
+@dataclass
+class IPAProof:
+    L: list  # affine points, one per round
+    R: list
+    a_final: int
+
+
+def q_point(curve: BatchedCurve):
+    """The auxiliary base binding the claimed inner-product value."""
+    return curve.pedersen_bases(1, seed=IPA_SEED)
+
+
+def _fold_points(curve, pts, x_std, xinv_std):
+    half = pts["z"].shape[0] // 2
+    lo = {k: v[:half] for k, v in pts.items()}
+    hi = {k: v[half:] for k, v in pts.items()}
+    return curve.add(curve.scalar_mul(xinv_std, lo), curve.scalar_mul(x_std, hi))
+
+
+def ipa_prove(
+    curve: BatchedCurve,
+    a_mont,
+    b_mont,
+    bases: dict,
+    transcript: Transcript,
+) -> IPAProof:
+    """a_mont/b_mont: (N, 16) Montgomery, N a power of two; bases: N points."""
+    N = a_mont.shape[0]
+    assert N & (N - 1) == 0
+    qp = q_point(curve)
+
+    w = transcript.challenge(b"ipa-w")
+    # Q' = w*Q; folded into every L/R so the value v is bound to the claim.
+    qw = curve.scalar_mul(_std(w)[None], qp)
+
+    a, b = a_mont, b_mont
+    G = bases
+    Ls, Rs = [], []
+    while a.shape[0] > 1:
+        half = a.shape[0] // 2
+        a_lo, a_hi = a[:half], a[half:]
+        b_lo, b_hi = b[:half], b[half:]
+        G_lo = {k: v[:half] for k, v in G.items()}
+        G_hi = {k: v[half:] for k, v in G.items()}
+
+        cl = _inner(a_lo, b_hi)
+        cr = _inner(a_hi, b_lo)
+        L = curve.add(
+            curve.msm(F.from_mont(a_lo), G_hi),
+            curve.scalar_mul(_std(cl)[None], qw),
+        )
+        R = curve.add(
+            curve.msm(F.from_mont(a_hi), G_lo),
+            curve.scalar_mul(_std(cr)[None], qw),
+        )
+        L_aff = curve.to_affine_ints({k: v.reshape(1, 16) for k, v in L.items()})[0]
+        R_aff = curve.to_affine_ints({k: v.reshape(1, 16) for k, v in R.items()})[0]
+        Ls.append(L_aff)
+        Rs.append(R_aff)
+        transcript.absorb_point(L_aff)
+        transcript.absorb_point(R_aff)
+        x = transcript.challenge(b"ipa-x")
+        xinv = pow(x, P - 2, P)
+        xm, xim = _mont(x), _mont(xinv)
+        a = F.add(F.mul(a_lo, xm), F.mul(a_hi, xim))
+        b = F.add(F.mul(b_lo, xim), F.mul(b_hi, xm))
+        G = _fold_points(curve, G, _std(x), _std(xinv))
+
+    a_final = int(F.from_limbs_mont(np.asarray(a[0]))[()])
+    return IPAProof(L=Ls, R=Rs, a_final=a_final)
+
+
+def ipa_verify(
+    curve: BatchedCurve,
+    commitment,
+    v: int,
+    b_mont,
+    bases: dict,
+    proof: IPAProof,
+    transcript: Transcript,
+) -> bool:
+    """commitment: affine point (int pair) or None; b_mont: (N, 16)."""
+    N = b_mont.shape[0]
+    m = (N - 1).bit_length()
+    if N != 1 << m or len(proof.L) != m or len(proof.R) != m:
+        return False
+    if not (0 <= proof.a_final < P):
+        return False
+    for pt in list(proof.L) + list(proof.R):
+        if pt is not None:
+            x, y = pt
+            pp = curve.ref.p
+            if not (0 <= x < pp and 0 <= y < pp and curve.ref.is_on_curve(pt)):
+                return False
+    qp = q_point(curve)
+    w = transcript.challenge(b"ipa-w")
+    qw = curve.scalar_mul(_std(w)[None], qp)
+
+    xs = []
+    for L_aff, R_aff in zip(proof.L, proof.R):
+        transcript.absorb_point(L_aff)
+        transcript.absorb_point(R_aff)
+        xs.append(transcript.challenge(b"ipa-x"))
+    xinvs = [pow(x, P - 2, P) for x in xs]
+
+    # s_i = prod_j (x_j if bit j of i set else xinv_j), round j binding the
+    # top remaining bit: tensor build on device, like eq_table the newest
+    # factor lands on the top bit, so iterate rounds reversed.
+    s = jnp.asarray(F.one_mont)[None, :]
+    for x, xi in reversed(list(zip(xs, xinvs))):
+        lo = F.mul(s, _mont(xi))
+        hi = F.mul(s, _mont(x))
+        s = jnp.concatenate([lo, hi])
+    G_final = curve.msm(F.from_mont(s), bases)
+
+    # b folds with the same (xinv lo, x hi) pattern as G.
+    b_final = _inner(s, b_mont)
+
+    # P' = C + w*v*Q + sum x_j^2 L_j + x_j^{-2} R_j
+    acc = curve.from_affine_ints([commitment])
+    acc = {k: v_[0] for k, v_ in acc.items()}
+    acc = curve.add(acc, curve.scalar_mul(_std(v)[None], qw))
+    for x, xi, L_aff, R_aff in zip(xs, xinvs, proof.L, proof.R):
+        Lp = curve.from_affine_ints([L_aff])
+        Rp = curve.from_affine_ints([R_aff])
+        acc = curve.add(acc, curve.scalar_mul(_std(x * x % P)[None], {k: v_[0] for k, v_ in Lp.items()}))
+        acc = curve.add(acc, curve.scalar_mul(_std(xi * xi % P)[None], {k: v_[0] for k, v_ in Rp.items()}))
+
+    # right side: a_final * G_final + a_final*b_final * Q'
+    rhs = curve.scalar_mul(_std(proof.a_final)[None], {k: v_.reshape(1, 16) for k, v_ in G_final.items()})
+    rhs = {k: v_[0] for k, v_ in rhs.items()}
+    rhs = curve.add(
+        rhs, curve.scalar_mul(_std(proof.a_final * b_final % P)[None], qw)
+    )
+    lhs_aff = curve.to_affine_ints({k: v_.reshape(1, 16) for k, v_ in acc.items()})[0]
+    rhs_aff = curve.to_affine_ints({k: v_.reshape(1, 16) for k, v_ in rhs.items()})[0]
+    return lhs_aff == rhs_aff

@@ -21,6 +21,27 @@ def cache_dir() -> str:
     return d
 
 
+_FINGERPRINT = None
+
+
+def source_fingerprint() -> str:
+    """Digest of the circuit-defining source files, folded into structure
+    cache keys so layout changes invalidate cached structures automatically
+    (no reliance on a manually-bumped version string)."""
+    global _FINGERPRINT
+    if _FINGERPRINT is None:
+        h = hashlib.sha256()
+        base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for rel in ("r1cs/builder.py", "r1cs/gadgets.py", "circuits/spec.py"):
+            try:
+                with open(os.path.join(base, rel), "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                h.update(rel.encode())
+        _FINGERPRINT = h.hexdigest()[:16]
+    return _FINGERPRINT
+
+
 def _path(key) -> str:
     h = hashlib.sha256(repr(key).encode()).hexdigest()[:32]
     return os.path.join(cache_dir(), f"{h}.pkl")
