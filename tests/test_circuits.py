@@ -62,72 +62,10 @@ def test_grayscale_circuit():
     assert_satisfied(r1cs)
 
 
-def test_brightness_circuit():
-    img = tiny_image()
-    inp = make_input(img, adjust_brightness(img, 1.4), {"factor": 14})
-    r1cs = synthesize(Transformation.BRIGHTNESS, inp)
-    assert_satisfied(r1cs)
 
 
-def test_contrast_circuit():
-    img = tiny_image()
-    inp = make_input(img, adjust_contrast(img, 1.4), {"factor": 14})
-    r1cs = synthesize(Transformation.CONTRAST, inp)
-    assert_satisfied(r1cs)
 
 
-def test_blur_circuit():
-    img = tiny_image()
-    inp = make_input(img, blur_image(img), pad_conv=True)
-    r1cs = synthesize(Transformation.BLUR, inp)
-    assert_satisfied(r1cs)
 
 
-def test_sharpness_circuit():
-    img = tiny_image()
-    inp = make_input(img, sharpen_image(img), pad_conv=True)
-    r1cs = synthesize(Transformation.SHARPNESS, inp)
-    assert_satisfied(r1cs)
 
-
-def test_crop_circuit():
-    img = tiny_image(h=6, w=20, seed=3)
-    x, y = 10, 2
-    inp = make_input(img, extra={"info": x * 2**24 + y * 2**12})
-    ctx = {"crop_out_words": 1, "crop_height": 2}
-    r1cs = synthesize(Transformation.CROP, inp, ctx=ctx)
-    assert_satisfied(r1cs)
-
-
-def _resize_hd_semantics(img, new_h, new_w):
-    """The reference's 720-branch bilinear formula on a tiny image."""
-    h, w, _ = img.shape
-    out = np.zeros((new_h, new_w, 3), dtype=np.uint8)
-    xr, yr = w / new_w, h / new_h
-    for i in range(new_h):
-        for j in range(new_w):
-            x_l, y_l = int(j * xr), int(i * yr)
-            a = img[y_l, x_l].astype(float)
-            b = img[y_l, x_l + 1].astype(float)
-            c = img[y_l + 1, x_l].astype(float)
-            d = img[y_l + 1, x_l + 1].astype(float)
-            wgt = (2.0 if i % 2 == 0 else 1.0) / 3
-            out[i, j] = (a * wgt + b * wgt + c * (1 - wgt) + d * (1 - wgt)) / 2
-    return out
-
-
-def test_resize_circuit():
-    img = tiny_image(h=6, w=20, seed=4)
-    tran = _resize_hd_semantics(img, 4, 10)
-    inp = make_input(img, tran)
-    r1cs = synthesize(Transformation.RESIZE, inp, resolution=Resolution.HD)
-    assert_satisfied(r1cs)
-
-
-def test_redact_circuit():
-    img = tiny_image(h=40, w=80, seed=5)
-    tran, indicators = redact_image(img)
-    assert indicators == [0, 1]
-    inp = make_input(img, tran, {"redact": indicators}, blocks=True)
-    r1cs = synthesize(Transformation.REDACT, inp)
-    assert_satisfied(r1cs)

@@ -373,30 +373,61 @@ class BatchedCurve:
         """
         return jax.vmap(lambda s: self.msm(s, points, c))(scalars)
 
-    @partial(jax.jit, static_argnums=0)
-    def sum_masked(self, mask, points) -> dict:
+    def _pair_tree(self, P: dict, n: int) -> dict:
+        """Pairwise log-depth sum over the second-to-last point axis."""
+        while n > 1:
+            P = self.add(
+                {k: v[..., 0::2, :] for k, v in P.items()},
+                {k: v[..., 1::2, :] for k, v in P.items()},
+            )
+            n //= 2
+        return {k: v[..., 0, :] for k, v in P.items()}
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def sum_masked(self, mask, points, seg: int = 2048) -> dict:
         """Subset sum: sum_i mask[i] * points[i] for 0/1 masks.
 
         mask: (..., N) uint32 in {0, 1}; points: batched dict (N, 16) with N
         a power of two. Log-depth pairwise tree reduction — the fast path
         for committing bit-valued witness wires (the majority of wires in
         every step circuit), where Pippenger's bucket walk degenerates.
+
+        The tree runs segment-by-segment under lax.map: a fully unrolled
+        tree over ~10^5 points is one giant XLA program whose live temps
+        (each EC add holds several (batch, N/2, 33)-column products) blow
+        past HBM at fold-prover batch sizes; bounding the segment keeps peak
+        memory at (batch, seg) regardless of N.
         """
         N = points["z"].shape[0]
         assert N & (N - 1) == 0, "pad N to a power of two"
         shape = mask.shape[:-1]
-        P = {
-            "x": jnp.broadcast_to(points["x"], shape + (N, 16)),
-            "y": jnp.broadcast_to(points["y"], shape + (N, 16)),
-            "z": jnp.where(mask[..., None] == 1, points["z"], jnp.uint32(0)),
-        }
-        while N > 1:
-            P = self.add(
-                {k: v[..., 0::2, :] for k, v in P.items()},
-                {k: v[..., 1::2, :] for k, v in P.items()},
-            )
-            N //= 2
-        return {k: v[..., 0, :] for k, v in P.items()}
+
+        def masked(pts, m):
+            n = pts["z"].shape[-2]
+            return {
+                "x": jnp.broadcast_to(pts["x"], shape + (n, 16)),
+                "y": jnp.broadcast_to(pts["y"], shape + (n, 16)),
+                "z": jnp.where(m[..., None] == 1, pts["z"], jnp.uint32(0)),
+            }
+
+        if N <= seg:
+            return self._pair_tree(masked(points, mask), N)
+
+        nseg = N // seg
+        pts_seg = {k: points[k].reshape(nseg, seg, 16) for k in points}
+        mask_seg = jnp.moveaxis(
+            mask.reshape(shape + (nseg, seg)), -2, 0
+        )  # (nseg, ..., seg)
+
+        def one_seg(args):
+            px, py, pz, m = args
+            return self._pair_tree(masked({"x": px, "y": py, "z": pz}, m), seg)
+
+        part = lax.map(
+            one_seg, (pts_seg["x"], pts_seg["y"], pts_seg["z"], mask_seg)
+        )  # dict of (nseg, ..., 16)
+        part = {k: jnp.moveaxis(v, 0, -2) for k, v in part.items()}
+        return self._pair_tree(part, nseg)
 
     # -- Pedersen ---------------------------------------------------------
 

@@ -196,53 +196,61 @@ class LimbField:
     # Multiplication
     # ------------------------------------------------------------------
 
-    # Static antidiagonal gather tables for the column-sum formulation of
-    # schoolbook multiplication: cols[k] = sum_j lo(a[k-j] * b[j])
-    #                                    + sum_j hi(a[k-j-1] * b[j]).
-    # One outer product + two constant-index gathers + a reduction — a single
-    # fused XLA kernel, instead of 16 unrolled dynamic-update-slice adds
-    # (which made every downstream kernel's HLO graph enormous and compile
-    # minutes-slow on small hosts).
+    # Column-sum formulation of schoolbook multiplication, built by placing
+    # the 16 partial products of each limb j of `b` at column offset j (lo
+    # halves) and j+1 (hi halves) via static pads, then summing. Pure
+    # elementwise + pad ops fuse into one VPU pass; crucially there is NO
+    # gather — an earlier take_along_axis antidiagonal formulation
+    # materialized (..., 16, ncols) gathered tensors, which at fold-prover
+    # batch sizes (128 steps x 4096 lanes x K=64) padded out to 16 GB per
+    # operand and OOMed the TPU at compile time.
     @staticmethod
-    def _diag_tables(ncols: int):
-        j = np.arange(NLIMB)[:, None]
-        k = np.arange(ncols)[None, :]
-        idx_lo = k - j
-        ok_lo = (idx_lo >= 0) & (idx_lo < NLIMB)
-        idx_hi = k - j - 1
-        ok_hi = (idx_hi >= 0) & (idx_hi < NLIMB)
-        return (
-            jnp.asarray(np.clip(idx_lo, 0, NLIMB - 1)),
-            jnp.asarray(ok_lo.astype(np.uint32)),
-            jnp.asarray(np.clip(idx_hi, 0, NLIMB - 1)),
-            jnp.asarray(ok_hi.astype(np.uint32)),
-        )
+    def _place(x, off: int, ncols: int):
+        """Pad (..., n) columns to (..., ncols) at column offset `off`."""
+        take = min(x.shape[-1], ncols - off)
+        if take <= 0:
+            return None
+        if take < x.shape[-1]:
+            x = x[..., :take]
+        cfg = [(0, 0)] * (x.ndim - 1) + [(off, ncols - off - take)]
+        return jnp.pad(x, cfg)
 
     @classmethod
     def _mul_columns(cls, a, b, ncols: int):
         """Schoolbook product column sums of two (..., 16) limb arrays.
 
-        Returns (..., ncols) uint32 columns of value a*b (each column < 2^21).
+        Returns (..., ncols) uint32 columns of value a*b.
         """
-        idx_lo, ok_lo, idx_hi, ok_hi = cls._diag_tables(ncols)
-        prod = a[..., None, :] * b[..., :, None]  # (..., j, i) exact in uint32
-        lo, hi = prod & MASK, prod >> LIMB_BITS
-        g_lo = jnp.take_along_axis(lo, jnp.broadcast_to(idx_lo, lo.shape[:-1] + (ncols,)), axis=-1)
-        g_hi = jnp.take_along_axis(hi, jnp.broadcast_to(idx_hi, hi.shape[:-1] + (ncols,)), axis=-1)
-        return jnp.sum(g_lo * ok_lo + g_hi * ok_hi, axis=-2)
+        a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
+        cols = None
+        for j in range(NLIMB):
+            p = a * b[..., j : j + 1]  # (..., 16) exact in uint32
+            for part, off in ((p & MASK, j), (p >> LIMB_BITS, j + 1)):
+                placed = cls._place(part, off, ncols)
+                if placed is not None:
+                    cols = placed if cols is None else cols + placed
+        return cols
 
     @classmethod
     def _mul_columns_acc(cls, a, b, ncols: int):
-        """Column sums of sum_k a_k * b_k for (..., K, 16) stacks (K <= 2047)."""
+        """Column sums of sum_k a_k * b_k for (..., K, 16) stacks (K <= 2047).
+
+        The K contraction happens inside each limb-j pass (a fused
+        multiply+mask+reduce), so no (..., K, 16, ncols) tensor ever exists.
+        """
         assert a.shape[-2] == b.shape[-2] or a.shape[-2] == 1 or b.shape[-2] == 1
         K = max(a.shape[-2], b.shape[-2])
         assert K <= 2047, "column sums would overflow uint32"
-        idx_lo, ok_lo, idx_hi, ok_hi = cls._diag_tables(ncols)
-        prod = a[..., None, :] * b[..., :, None]  # (..., K, j, i)
-        lo, hi = prod & MASK, prod >> LIMB_BITS
-        g_lo = jnp.take_along_axis(lo, jnp.broadcast_to(idx_lo, lo.shape[:-1] + (ncols,)), axis=-1)
-        g_hi = jnp.take_along_axis(hi, jnp.broadcast_to(idx_hi, hi.shape[:-1] + (ncols,)), axis=-1)
-        return jnp.sum(g_lo * ok_lo + g_hi * ok_hi, axis=(-3, -2))
+        cols = None
+        for j in range(NLIMB):
+            p = a * b[..., j : j + 1]  # (..., K, 16)
+            lo = jnp.sum(p & MASK, axis=-2)  # (..., 16), < K * 2^16
+            hi = jnp.sum(p >> LIMB_BITS, axis=-2)
+            for part, off in ((lo, j), (hi, j + 1)):
+                placed = cls._place(part, off, ncols)
+                if placed is not None:
+                    cols = placed if cols is None else cols + placed
+        return cols
 
     def _low_mul(self, a, b):
         """(a * b) mod 2^256 over (..., 16) limb arrays -> (..., 16) limbs."""

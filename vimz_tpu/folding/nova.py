@@ -169,7 +169,9 @@ class _FoldCore:
     # -- chunk helpers ---------------------------------------------------
 
     def _chunk_size(self, n: int) -> int:
-        return self.PAIR_CHUNK if n > self.PAIR_CHUNK_SMALL else self.PAIR_CHUNK_SMALL
+        """Power-of-two pair-batch sizes in [8, 64]: few compiled shapes,
+        bounded padding waste as tree levels halve."""
+        return max(self.PAIR_CHUNK_SMALL, min(self.PAIR_CHUNK, _pow2(n)))
 
     # -- commitments -------------------------------------------------------
 
@@ -284,21 +286,60 @@ class _FoldCore:
         ]
         return jnp.concatenate(parts)[:k]
 
+    ROW_BLOCK = 16384  # wire/constraint-axis block for wide elementwise kernels
+
+    @staticmethod
+    def _map_rows(fn, arrays, blk: int):
+        """Apply an elementwise field fn over axis 1 in lax.map blocks.
+
+        One fused field op over (batch, 1.5e5 wires) holds several
+        (batch, n, 33) column temporaries at once — blocking the row axis
+        bounds peak memory to (batch, blk) regardless of circuit size.
+        """
+        import jax.numpy as _jnp
+        from jax import lax as _lax
+
+        n = arrays[0].shape[1]
+        pad = (-n) % blk
+        if n + pad == blk:
+            return fn(*arrays)
+        stacked = []
+        for a in arrays:
+            if pad:
+                a = _jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+            stacked.append(_jnp.moveaxis(a.reshape(a.shape[0], -1, blk, 16), 1, 0))
+        out = _lax.map(lambda xs: fn(*xs), tuple(stacked))
+        out = _jnp.moveaxis(out, 0, 1).reshape(arrays[0].shape[0], n + pad, 16)
+        return out[:, :n] if pad else out
+
     @partial(jax.jit, static_argnums=0)
     def _fold_z_kernel(self, z1, z2, r_mont):
-        return self.f.add(z1, self.f.mul(z2, r_mont[:, None, :]))
+        f = self.f
+        return self._map_rows(
+            lambda a, b: f.add(a, f.mul(b, r_mont[:, None, :])),
+            (z1, z2), self.ROW_BLOCK,
+        )
 
     @partial(jax.jit, static_argnums=0)
     def _fold_e_kernel(self, e1, T, e2, r_mont, r2_mont):
         f = self.f
-        return f.add(
-            e1, f.add(f.mul(T, r_mont[:, None, :]), f.mul(e2, r2_mont[:, None, :]))
+        return self._map_rows(
+            lambda a, t, b: f.add(
+                a, f.add(f.mul(t, r_mont[:, None, :]), f.mul(b, r2_mont[:, None, :]))
+            ),
+            (e1, T, e2), self.ROW_BLOCK,
         )
 
     @partial(jax.jit, static_argnums=0)
     def _fold_e0_kernel(self, T, r_mont):
         """Level-0 E fold: children have E = 0, so E' = r * T."""
-        return self.f.mul(T, r_mont[:, None, :])
+        return self._map_rows(
+            lambda t: self.f.mul(t, r_mont[:, None, :]), (T,), self.ROW_BLOCK
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def _from_mont_rows(self, a):
+        return self._map_rows(self.f.from_mont, (a,), self.ROW_BLOCK)
 
     def _chunked3(self, fn, arrays, rs_list):
         """Apply fn(*chunks) over the leading axis in fixed-size chunks."""
@@ -323,22 +364,24 @@ class _FoldCore:
 
 
 class FoldingProver(_FoldCore):
-    """Tree-fold prover with a chunked memory plan.
+    """Streaming chunk-subtree fold prover.
 
-    All multi-GB state (step witnesses Z, error vectors E) lives in
-    `_RowStore` chunk lists: leaves are produced in ~128-step chunks
-    (witness tape + commitment per chunk), each tree level folds pair-chunks
-    and releases consumed child chunks immediately, and the level-0 E is
-    never materialized (identically zero -> E' = r*T at level 1). This keeps
-    peak HBM near 2x the live Z level instead of 4-5x, which is what lets an
-    HD proof (720 x ~150k wires x 16 limbs) fit a 16 GB chip.
+    Leaves are produced in 128-step chunks (witness tape + commitments), and
+    each chunk's subtree is folded all the way to its root before the next
+    chunk's witnesses are generated; chunk roots are then folded by a small
+    top tree. Because every tree node's Fiat–Shamir challenge binds only its
+    two children and its own cross-term commitment, evaluation order is
+    free: this produces a proof bit-identical to a global level-by-level
+    fold, but peak HBM is one chunk's Z (~1.2 GB at HD) + its fold
+    intermediates instead of all S leaves (~7 GB at HD, ~40 GB at 8K) — the
+    memory plan that fits a 16 GB chip at any resolution.
+
+    The level-0 E is never materialized (identically zero -> E' = r*T).
     """
 
     def prove(
         self, r1cs: R1CS, progress: bool = False, compress: bool = False
     ) -> FoldProof:
-        import jax as _jax
-
         from vimz_tpu.r1cs.witness import execute_tape
         from vimz_tpu.utils.tracing import span
 
@@ -346,33 +389,121 @@ class FoldingProver(_FoldCore):
         S = r1cs.S
         state_len = r1cs.n_pub // 2
         nc = d.n_constraints
+
+        CS = 2 * self.PAIR_CHUNK  # leaf slots per chunk subtree
+        chunk_levels = CS.bit_length() - 1
+        x_all = r1cs.inputs[:, : d.n_pub].copy()
+        node_comm_t: dict[int, list] = {}
+        leaf_comm_w_aff: list = []
+        roots: list[dict] = []
+
+        for a in range(0, S, CS):
+            b = min(a + CS, S)
+            with span("leaf_chunk", lo=a, hi=b, wires=d.n_wires):
+                z_c = execute_tape(r1cs, a, b)
+                w_std_c = self._from_mont_rows(z_c[:, 1 + d.n_pub : d.n_wires])
+                comm_w = self.commit_witnesses(w_std_c)
+                comm_w_aff = self.to_affine(comm_w)
+                leaf_comm_w_aff.extend(comm_w_aff)
+            if progress:
+                print(f"  leaf chunk {a}:{b} committed", flush=True)
+            n = b - a
+            state = dict(
+                z_store=_RowStore([z_c]),
+                e_store=None,
+                comm_w=comm_w,
+                comm_e=self.curve.infinity((n,)),
+                u=[1] * n,
+                x=x_all[a:b].copy(),
+                digests=instance_digests_batch(
+                    [1] * n, x_all[a:b], comm_w_aff, [None] * n
+                ),
+            )
+            roots.append(self._fold_to_root(state, node_comm_t, 0, progress))
+            if progress:
+                print(f"  chunk {a}:{b} folded to root", flush=True)
+
+        if len(roots) > 1:
+            state = dict(
+                z_store=_RowStore([jnp.concatenate([r["z"] for r in roots])]),
+                e_store=_RowStore([jnp.concatenate([r["e"] for r in roots])]),
+                comm_w=_concat_points([r["comm_w"] for r in roots]),
+                comm_e=_concat_points([r["comm_e"] for r in roots]),
+                u=[r["u"] for r in roots],
+                x=np.concatenate([r["x"] for r in roots]),
+                digests=[r["digest"] for r in roots],
+            )
+            final = self._fold_to_root(state, node_comm_t, chunk_levels, progress)
+        else:
+            final = roots[0]
+
+        n_levels = max(node_comm_t) + 1 if node_comm_t else 0
+        node_comm_t_list = [node_comm_t.get(l, []) for l in range(n_levels)]
+        z_fin = final["z"][0]
+        e_fin = final["e"][0]
+        u_host = [final["u"]]
+        x_rows = final["x"]
+        comm_w = final["comm_w"]
+        comm_e = final["comm_e"]
+        node_comm_t = node_comm_t_list
+
+        if compress:
+            from vimz_tpu.snark import SpartanProver
+            from vimz_tpu.utils.tracing import span as _span
+
+            with _span("compress_snark"):
+                sp = SpartanProver(d, self.curve)
+                cw_fin = self.to_affine(comm_w)[0]
+                ce_fin = self.to_affine(comm_e)[0]
+                spartan = sp.prove(
+                    u_host[0], list(x_rows[0]), cw_fin, ce_fin,
+                    z_fin[: d.n_wires], e_fin,
+                )
+            w_final = e_final = None
+        else:
+            spartan = None
+            w_final = f.from_limbs_mont(np.asarray(z_fin[1 + d.n_pub : d.n_wires]))
+            e_final = f.from_limbs_mont(np.asarray(e_fin))
+
+        return FoldProof(
+            state_len=state_len,
+            steps=S,
+            x_rows=r1cs.inputs[:, : d.n_pub].copy(),
+            leaf_comm_w=leaf_comm_w_aff,
+            node_comm_t=node_comm_t,
+            u_final=u_host[0],
+            w_final=w_final,
+            e_final=e_final,
+            spartan=spartan,
+        )
+
+    def _fold_to_root(
+        self, state: dict, node_sink: dict, level_offset: int, progress: bool = False
+    ) -> dict:
+        """Fold a front of instances down to a single root.
+
+        `state` carries the device arrays (z/e row stores, commitment point
+        stacks) and host bookkeeping (u scalars, public rows, digests) for
+        `active` instances; cross terms / folds run in power-of-two pair
+        batches. Emits each level's cross-term commitments into
+        `node_sink[level_offset + level]` (global tree level)."""
+        import jax as _jax
+
+        from vimz_tpu.utils.tracing import span
+
+        f, d = self.f, self.d
+        nc = d.n_constraints
         bases_c = _index_points(self.bases, slice(0, nc))
 
-        # --- leaf stage: witness tape + commitments, chunked over steps ---
-        CS = 2 * self.PAIR_CHUNK
-        z_parts, comm_parts = [], []
-        with span("leaf_stage", steps=S, wires=d.n_wires):
-            for a in range(0, S, CS):
-                b = min(a + CS, S)
-                z_c = execute_tape(r1cs, a, b)
-                w_std_c = f.from_mont(z_c[:, 1 + d.n_pub : d.n_wires])
-                comm_parts.append(self.commit_witnesses(w_std_c))
-                z_parts.append(z_c)
-                if progress:
-                    print(f"  leaf chunk {a}:{b} done", flush=True)
-        z_store = _RowStore(z_parts)
-        e_store = None  # level-0 E is identically zero
-        comm_w = _concat_points(comm_parts)
-        comm_w_aff = self.to_affine(comm_w)
-        leaf_comm_w_aff = list(comm_w_aff)
-        comm_e = self.curve.infinity((S,))
+        z_store: _RowStore = state["z_store"]
+        e_store = state["e_store"]
+        comm_w = state["comm_w"]
+        comm_e = state["comm_e"]
+        u_host = list(state["u"])
+        x_rows = state["x"]
+        digests = list(state["digests"])
 
-        x_rows = r1cs.inputs[:, : d.n_pub].copy()
-        u_host = [1] * S
-        digests = instance_digests_batch(u_host, x_rows, comm_w_aff, [None] * S)
-
-        node_comm_t: list[list] = []
-        active = S
+        active = len(u_host)
         level = 0
         while active > 1:
             nfull, carry = active // 2, active % 2
@@ -380,7 +511,7 @@ class FoldingProver(_FoldCore):
             comm_t_affs: list = []
             rs_level: list[int] = []
             new_z, new_e, cw_parts, ce_parts = [], [], [], []
-            with span("fold_level", level=level, pairs=nfull):
+            with span("fold_level", level=level_offset + level, pairs=nfull):
                 for pa in range(0, nfull, cs):
                     pb = min(pa + cs, nfull)
                     k = pb - pa
@@ -397,7 +528,7 @@ class FoldingProver(_FoldCore):
                         u_host[2 * pa + 1 : 2 * pb : 2] + [0] * pad, dtype=object)))
                     T = d.cross_term(z1, u1, z2, u2)  # (cs, nc, 16)
                     comm_t = self._msm_chunked(
-                        f.from_mont(T[:k]), bases_c, self.MSM_CHUNK
+                        self._from_mont_rows(T[:k]), bases_c, self.MSM_CHUNK
                     )
                     comm_t_aff = self.to_affine(comm_t)
                     comm_t_affs.extend(comm_t_aff)
@@ -476,45 +607,27 @@ class FoldingProver(_FoldCore):
             ce_aff = self.to_affine(comm_e)
             digests = instance_digests_batch(u_next, x_next, cw_aff, ce_aff)
             u_host, x_rows = u_next, x_next
-            node_comm_t.append(comm_t_affs)
+            node_sink.setdefault(level_offset + level, []).extend(comm_t_affs)
             level += 1
             if progress:
-                print(f"  fold level {level} done ({active} instances remain)", flush=True)
-
-        z_fin = z_store.gather(0, 1)[0]
-        e_fin = (
-            e_store.gather(0, 1)[0]
-            if e_store is not None
-            else jnp.zeros((nc, 16), dtype=jnp.uint32)
-        )
-
-        if compress:
-            from vimz_tpu.snark import SpartanProver
-
-            with span("compress_snark"):
-                sp = SpartanProver(d, self.curve)
-                cw_fin = self.to_affine(comm_w)[0]
-                ce_fin = self.to_affine(comm_e)[0]
-                spartan = sp.prove(
-                    u_host[0], list(x_rows[0]), cw_fin, ce_fin,
-                    z_fin[: d.n_wires], e_fin,
+                print(
+                    f"    level {level_offset + level} done "
+                    f"({active} instances remain)",
+                    flush=True,
                 )
-            w_final = e_final = None
-        else:
-            spartan = None
-            w_final = f.from_limbs_mont(np.asarray(z_fin[1 + d.n_pub : d.n_wires]))
-            e_final = f.from_limbs_mont(np.asarray(e_fin))
 
-        return FoldProof(
-            state_len=state_len,
-            steps=S,
-            x_rows=r1cs.inputs[:, : d.n_pub].copy(),
-            leaf_comm_w=leaf_comm_w_aff,
-            node_comm_t=node_comm_t,
-            u_final=u_host[0],
-            w_final=w_final,
-            e_final=e_final,
-            spartan=spartan,
+        return dict(
+            z=z_store.gather(0, 1),
+            e=(
+                e_store.gather(0, 1)
+                if e_store is not None
+                else jnp.zeros((1, nc, 16), dtype=jnp.uint32)
+            ),
+            comm_w=comm_w,
+            comm_e=comm_e,
+            u=u_host[0],
+            x=x_rows[0:1],
+            digest=digests[0],
         )
 
 

@@ -94,11 +94,11 @@ class LC:
 class Op:
     """One witness-tape entry. Allocates `n_out` wires starting at `out`."""
 
-    kind: str  # "mul" | "bits" | "iszero"
+    kind: str  # "mul" | "bits" | "iszero" | "perm"
     out: int
     n_out: int
-    lcs: tuple  # mul: (a, b); bits/iszero: (x,)
-    meta: int = 0  # bits: bit count
+    lcs: tuple  # mul: (a, b); bits/iszero: (x,); perm: the t state LCs
+    meta: int = 0  # bits: bit count; perm: circomlib n_inputs (t - 1)
     depth: int = 0
 
 
@@ -252,6 +252,23 @@ class Builder:
         recomposed = LC({base + i: (1 << i) % P for i in range(n)})
         self.enforce_equal(recomposed, x)
         return bits
+
+    def op_perm(self, state: list[LC], n_inputs: int, n_out: int) -> int:
+        """One whole Poseidon permutation as a single tape op.
+
+        Allocates `n_out` wires (the x2/x4/x5 sbox intermediates of every
+        round, in round-major order) and records one op; the caller (the
+        Poseidon gadget) emits the matching constraints. Collapsing the
+        ~200-deep sbox mul chain of a permutation into one op is what keeps
+        the batched executor's stage count (== kernel launches) at
+        O(hash-chain length) instead of O(rounds x chain length).
+        """
+        depth = 1 + max(self._lc_depth(s) for s in state)
+        base = self._alloc_wires(n_out, depth)
+        self.tape.append(
+            Op("perm", base, n_out, tuple(state), meta=n_inputs, depth=depth)
+        )
+        return base
 
     def op_iszero(self, x: LC) -> LC:
         """Boolean wire z = (x == 0); allocates helper wire inv = x^{-1} or 0."""

@@ -143,31 +143,44 @@ def word_to_gray_values(b: Builder, word: LC) -> list[LC]:
 
 
 class PoseidonGadget:
-    """In-circuit Poseidon permutation for a fixed parameter set."""
+    """In-circuit Poseidon permutation for a fixed parameter set.
+
+    Emits one `perm` tape op for the whole permutation (so the witness
+    executor evaluates all rounds in a single batched kernel,
+    r1cs/witness.py) plus the standard 3-constraints-per-sbox R1CS rows
+    referencing the op's preallocated x2/x4/x5 wires.
+    """
 
     def __init__(self, params: PoseidonParams):
         self.params = params
+        p = params
+        self.n_sbox = p.full_rounds * p.t + p.partial_rounds
 
     def permute(self, b: Builder, state: list[LC]) -> list[LC]:
         p = self.params
         t = p.t
         half = p.full_rounds // 2
+        w = b.op_perm(list(state), n_inputs=t - 1, n_out=3 * self.n_sbox)
         for r in range(p.rounds):
             state = [s.add_const(p.ark[r][i]) for i, s in enumerate(state)]
             if r < half or r >= half + p.partial_rounds:
-                state = [self._sbox(b, s) for s in state]
+                state = [self._sbox(b, s, w + 3 * i) for i, s in enumerate(state)]
+                w += 3 * t
             else:
-                state = [self._sbox(b, state[0])] + state[1:]
+                state = [self._sbox(b, state[0], w)] + state[1:]
+                w += 3
             state = [
                 vsum(state[j].scale(p.mds[i][j]) for j in range(t)) for i in range(t)
             ]
         return state
 
     @staticmethod
-    def _sbox(b: Builder, x: LC) -> LC:
-        x2 = mul(b, x, x)
-        x4 = mul(b, x2, x2)
-        return mul(b, x4, x)
+    def _sbox(b: Builder, x: LC, w: int) -> LC:
+        x2, x4, x5 = LC({w: 1}), LC({w + 1: 1}), LC({w + 2: 1})
+        b.enforce(x, x, x2)
+        b.enforce(x2, x2, x4)
+        b.enforce(x4, x, x5)
+        return x5
 
 
 _GADGETS: dict[int, PoseidonGadget] = {}

@@ -25,6 +25,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from vimz_tpu.fields.limbs import FR_LIMBS as F
 from vimz_tpu.fields.prime import P_FR as P
@@ -98,6 +99,48 @@ def pack_stages(tape, n_wires: int) -> list[dict]:
             for i, op in enumerate(ops):
                 out[i] = (op.out, op.out + 1)
             stages.append(dict(kind="iszero", idx=idx, c=c, out=out))
+        elif kind == "perm":
+            n_inputs = meta
+            from vimz_tpu.poseidon.params import circomlib_params
+
+            p = circomlib_params(n_inputs)
+            t, half, partial = p.t, p.full_rounds // 2, p.partial_rounds
+            flat = [lc.terms for op in ops for lc in op.lcs]
+            flat += [{}] * (pad * t)
+            idx, c = _pack_lcs(flat, scratch)
+            idx = idx.reshape(Lp, t, -1)
+            c = c.reshape(Lp, t, -1, 16)
+            # sbox wire offsets, round-major (matches PoseidonGadget.permute):
+            # first-half full rounds, partial rounds, last-half full rounds.
+            r_ = np.arange(half)[:, None, None]
+            i_ = np.arange(t)[None, :, None]
+            k_ = np.arange(3)[None, None, :]
+            off_full = 3 * (r_ * t + i_) + k_  # (half, t, 3)
+            off_part = (
+                3 * (half * t + np.arange(partial)[:, None, None])
+                + np.arange(3)[None, None, :]
+            )  # (partial, 1, 3)
+            base = np.full(Lp, scratch, dtype=np.int64)
+            base[:L] = [op.out for op in ops]
+            scr = np.zeros(Lp, dtype=np.int64)
+            scr[L:] = 1  # padded lanes: every write goes to the scratch column
+
+            def lane_out(off, tail_off: int):
+                o = base[:, None, None, None] + off[None] + tail_off
+                o = np.where(scr[:, None, None, None] == 1, scratch, o)
+                return o.astype(np.int32)
+
+            stages.append(
+                dict(
+                    kind="perm",
+                    n_inputs=n_inputs,
+                    idx=idx,
+                    c=c,
+                    out_a=lane_out(off_full, 0),
+                    out_b=lane_out(off_part, 0),
+                    out_c=lane_out(off_full, 3 * (half * t + partial)),
+                )
+            )
         else:  # pragma: no cover
             raise ValueError(f"unknown op kind {kind}")
     return stages
@@ -135,6 +178,43 @@ def _bits_stage(W, idx, c, out, one_mont, zero16, n):
 
 
 @partial(jax.jit, donate_argnums=0)
+def _perm_stage(W, idx, c, out_a, out_b, out_c, ark, mds):
+    """One batch of whole Poseidon permutations: evaluate the t input LCs,
+    run all rounds as three lax.scans (full/partial/full), and scatter every
+    sbox intermediate (x2, x4, x5 per sbox, round-major) into W."""
+    half = out_a.shape[1]
+    partial_r = out_b.shape[1]
+    st = F.mul_acc(c, W[:, idx, :])  # (S, L, t, 16)
+
+    def full_body(st, ark_r):
+        st = F.add(st, ark_r)
+        x2 = F.mul(st, st)
+        x4 = F.mul(x2, x2)
+        x5 = F.mul(x4, st)
+        return F.mul_acc(mds, x5[..., None, :, :]), jnp.stack([x2, x4, x5], axis=-2)
+
+    def part_body(st, ark_r):
+        st = F.add(st, ark_r)
+        s0 = st[..., 0:1, :]
+        x2 = F.mul(s0, s0)
+        x4 = F.mul(x2, x2)
+        x5 = F.mul(x4, s0)
+        full = jnp.concatenate([x5, st[..., 1:, :]], axis=-2)
+        return F.mul_acc(mds, full[..., None, :, :]), jnp.stack([x2, x4, x5], axis=-2)
+
+    st, ys_a = lax.scan(full_body, st, ark[:half])
+    st, ys_b = lax.scan(part_body, st, ark[half : half + partial_r])
+    _, ys_c = lax.scan(full_body, st, ark[half + partial_r :])
+
+    S = W.shape[0]
+    for ys, out in ((ys_a, out_a), (ys_b, out_b), (ys_c, out_c)):
+        # ys: (R, S, L, e, 3, 16) -> (S, L, R, e, 3, 16) to match out (L, R, e, 3)
+        vals = jnp.transpose(ys, (1, 2, 0, 3, 4, 5)).reshape(S, -1, 16)
+        W = W.at[:, out.reshape(-1), :].set(vals)
+    return W
+
+
+@partial(jax.jit, donate_argnums=0)
 def _iszero_stage(W, idx, c, out, one_mont, zero16):
     x = _eval_lc(W, idx, c)  # (S, L, 16) mont
     inv = F.inv(x)  # x^{p-2}, 0 -> 0
@@ -147,6 +227,25 @@ def _iszero_stage(W, idx, c, out, one_mont, zero16):
 # ----------------------------------------------------------------------
 # Executor
 # ----------------------------------------------------------------------
+
+
+_PERM_CONSTS: dict[int, dict] = {}
+
+
+def _perm_consts(n_inputs: int) -> dict:
+    """Montgomery-form ark/mds device arrays for one circomlib profile."""
+    if n_inputs not in _PERM_CONSTS:
+        from vimz_tpu.poseidon.params import circomlib_params
+
+        p = circomlib_params(n_inputs)
+        ark = np.asarray(
+            [[F.to_limbs_mont(v) for v in row] for row in p.ark], dtype=np.uint32
+        )
+        mds = np.asarray(
+            [[F.to_limbs_mont(v) for v in row] for row in p.mds], dtype=np.uint32
+        )
+        _PERM_CONSTS[n_inputs] = dict(ark=jnp.asarray(ark), mds=jnp.asarray(mds))
+    return _PERM_CONSTS[n_inputs]
 
 
 def _device_stages(r1cs) -> list[dict]:
@@ -190,6 +289,12 @@ def execute_tape(r1cs, lo: int = 0, hi: int | None = None) -> jnp.ndarray:
             W = _mul_stage(W, st["idxa"], st["ca"], st["idxb"], st["cb"], st["out"])
         elif st["kind"] == "bits":
             W = _bits_stage(W, st["idx"], st["c"], st["out"], one_mont, zero16, st["n"])
+        elif st["kind"] == "perm":
+            consts = _perm_consts(st["n_inputs"])
+            W = _perm_stage(
+                W, st["idx"], st["c"], st["out_a"], st["out_b"], st["out_c"],
+                consts["ark"], consts["mds"],
+            )
         else:
             W = _iszero_stage(W, st["idx"], st["c"], st["out"], one_mont, zero16)
     return W

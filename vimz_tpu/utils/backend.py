@@ -33,6 +33,29 @@ def compile_cache_dir(platform: str = "tpu") -> str:
     return os.path.expanduser(f"~/.cache/jax-vimz-cpu-{tag}")
 
 
+def raise_stack_limit(mb: int = 256) -> None:
+    """Raise RLIMIT_STACK for the main thread.
+
+    The unrolled limb-arithmetic graphs (an EC add is ~10^4 HLO ops; a
+    masked commitment tree unrolls dozens of them) drive XLA's recursive
+    CPU compiler passes deep enough to overflow the default 8 MB stack —
+    observed as intermittent SIGSEGVs inside backend_compile and
+    executable.serialize. The main-thread stack grows on demand up to the
+    rlimit, so raising it at startup is sufficient for main-thread compiles.
+    """
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        want = mb * 1024 * 1024
+        if hard != resource.RLIM_INFINITY:
+            want = min(want, hard)
+        if soft != resource.RLIM_INFINITY and soft < want:
+            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
+    except Exception:
+        pass
+
+
 def enable_compile_cache(platform: str = "tpu") -> None:
     """Enable JAX's persistent compilation cache.
 
@@ -44,10 +67,57 @@ def enable_compile_cache(platform: str = "tpu") -> None:
     """
     import jax
 
+    raise_stack_limit()
     jax.config.update("jax_compilation_cache_dir", compile_cache_dir(platform))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if platform == "cpu":
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+        _fork_isolate_cache_writes()
+
+
+_CACHE_WRITES_ISOLATED = False
+
+
+def _fork_isolate_cache_writes() -> None:
+    """Write persistent-cache entries from a forked child process.
+
+    This jaxlib's CPU `executable.serialize()` SIGSEGVs for some executables
+    (observed: donated-buffer scan kernels); an in-process crash would kill
+    the whole test run. The child shares the cache directory, so successful
+    writes land normally and a crashing serialize only loses that one entry.
+    Reads are unaffected.
+    """
+    global _CACHE_WRITES_ISOLATED
+    if _CACHE_WRITES_ISOLATED:
+        return
+    _CACHE_WRITES_ISOLATED = True
+
+    import signal
+
+    from jax._src import compilation_cache as cc
+
+    orig = cc.put_executable_and_time
+
+    def safe_put(cache_key, module_name, executable, backend, compile_time):
+        try:
+            pid = os.fork()
+        except OSError:
+            return
+        if pid == 0:
+            try:
+                signal.alarm(30)  # a hung serialize must not leak children
+                orig(cache_key, module_name, executable, backend, compile_time)
+                os._exit(0)
+            except BaseException:
+                os._exit(1)
+        try:
+            os.waitpid(pid, 0)
+        except ChildProcessError:
+            pass
+
+    # jax._src.compiler resolves this attribute at call time, so patching the
+    # module attribute covers the only call site.
+    cc.put_executable_and_time = safe_put
 
 
 def force_cpu(n_virtual_devices: int | None = None) -> None:
