@@ -400,7 +400,14 @@ class FoldingProver(_FoldCore):
         for a in range(0, S, CS):
             b = min(a + CS, S)
             with span("leaf_chunk", lo=a, hi=b, wires=d.n_wires):
-                z_c = execute_tape(r1cs, a, b)
+                # Tail chunk: recompute an overlapping full-width window so
+                # the witness stage kernels keep their (CS, wires) shape —
+                # ~40% of one chunk's tape work is far cheaper than compiling
+                # a second full set of stage kernels for the odd tail shape.
+                lo = b - CS if (b - a) < CS and S >= CS else a
+                z_c = execute_tape(r1cs, lo, b)
+                if lo < a:
+                    z_c = z_c[a - lo :]
                 w_std_c = self._from_mont_rows(z_c[:, 1 + d.n_pub : d.n_wires])
                 comm_w = self.commit_witnesses(w_std_c)
                 comm_w_aff = self.to_affine(comm_w)
