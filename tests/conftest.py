@@ -11,6 +11,10 @@ import os
 
 # Circuit/chain-divergence canary in synthesize() (see circuits/spec.py).
 os.environ.setdefault("VIMZ_DEBUG_CHECK", "1")
+# One tiny fold-pair batch shape for the whole suite: every EC/fold kernel
+# compiles once at (8, ...) instead of per-circuit 64-lane shapes (XLA CPU
+# compiles of the EC graphs are minutes each on a 2-vCPU box).
+os.environ.setdefault("VIMZ_PAIR_CHUNK", "8")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,4 +1,4 @@
-"""Curve arithmetic: batched Jacobian ops vs the Python-int reference."""
+"""Curve arithmetic: batched projective ops vs the Python-int reference."""
 
 import random
 

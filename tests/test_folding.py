@@ -50,6 +50,21 @@ def test_verify_rejects_wrong_final_state(grayscale_setup):
     assert not verifier.verify(proof, z0, bad_zn)
 
 
+def test_multichunk_streaming_matches_verifier():
+    """S > LEAF_CHUNK exercises chunk subtrees + the tail-overlap window;
+    the verifier recomputes one global tree, so agreement proves the
+    streaming order is bit-identical to a level-by-level fold."""
+    img = tiny_image(h=10, w=20, seed=13)
+    inp = make_input(img, convert_to_grayscale(img))
+    r1cs = synthesize(Transformation.GRAYSCALE, inp)
+    d = DeviceR1CS(r1cs)
+    prover = FoldingProver(d)
+    prover.LEAF_CHUNK = 4  # 2 full chunks + a 2-leaf tail (overlap path)
+    proof = prover.prove(r1cs)
+    zn = [int(v) for v in r1cs.witness[-1, 1 + 2 : 1 + 4]]
+    assert FoldingVerifier(d).verify(proof, [0, 0], zn)
+
+
 def test_verify_rejects_tampered_chain(grayscale_setup):
     import copy
 

@@ -6,10 +6,10 @@ bn254/grumpkin; witness commitments are Pedersen MSMs over these groups.
 Two implementations:
 
 - `CurveRef`: Python-int affine reference (tests, generator derivation).
-- `BatchedCurve`: vectorized Jacobian arithmetic over limb arrays (JAX),
-  with complete-case handling via masks (infinity encoded as Z = 0), plus a
-  Pippenger MSM whose bucket accumulation uses sort + segmented
-  associative-scan — the TPU-native replacement for the scatter-heavy GPU
+- `BatchedCurve`: vectorized projective arithmetic over limb arrays (JAX)
+  using the RCB complete formulas (branch-free, infinity = (0 : y : 0)),
+  plus a Pippenger MSM whose bucket accumulation uses sort + a lockstep
+  bucket-run walk — the TPU-native replacement for the scatter-heavy GPU
   bucket pattern.
 
 Curve equations: BN254 G1: y^2 = x^3 + 3 over Fq (order = P_FR);
@@ -145,15 +145,22 @@ GRUMPKIN = CurveRef("grumpkin", FR, -17 % P_FR, P_FQ, (1, _GRUMPKIN_GEN_Y))
 
 
 # ----------------------------------------------------------------------
-# Batched Jacobian arithmetic
+# Batched projective arithmetic (RCB complete formulas)
 # ----------------------------------------------------------------------
 
 
 class BatchedCurve:
-    """Vectorized Jacobian point ops over (..., 16) Montgomery limb coords.
+    """Vectorized homogeneous-projective point ops over (..., 16) Montgomery
+    limb coords.
 
-    A point batch is a dict {x, y, z}; infinity has z == 0. All inputs and
-    outputs are Montgomery-form limbs of the curve's base field.
+    A point batch is a dict {x, y, z}; infinity is (0 : y : 0) with y != 0.
+    All inputs and outputs are Montgomery-form limbs of the curve's base
+    field. The group law uses the Renes–Costello–Batina *complete* addition
+    formulas for a = 0 (eprint 2015/1060, Algorithms 7 and 9): one
+    branch-free path valid for every input pair, including doubling and
+    infinity — no case selects, and roughly half the unrolled-HLO footprint
+    of a Jacobian add+double+select ladder, which is what makes the EC
+    kernels compile in minutes rather than tens of minutes.
     """
 
     def __init__(self, ref: CurveRef, field: LimbField):
@@ -161,11 +168,12 @@ class BatchedCurve:
         self.ref = ref
         self.f = field
         self.b_mont = np.asarray(field.to_limbs_mont(ref.b % ref.p))
+        self.b3_mont = np.asarray(field.to_limbs_mont(3 * ref.b % ref.p))
 
     # -- conversions ----------------------------------------------------
 
     def from_affine_ints(self, pts) -> dict:
-        """List of (x, y) or None -> batched Jacobian dict (host-side)."""
+        """List of (x, y) or None -> batched projective dict (host-side)."""
         xs, ys, zs = [], [], []
         for P in pts:
             if P is None:
@@ -184,7 +192,7 @@ class BatchedCurve:
         }
 
     def to_affine_ints(self, P) -> list:
-        """Batched Jacobian dict -> list of (x, y) or None (host-side)."""
+        """Batched projective dict -> list of (x, y) or None (host-side)."""
         f = self.f
         x = np.atleast_2d(np.asarray(P["x"]).reshape(-1, 16))
         y = np.atleast_2d(np.asarray(P["y"]).reshape(-1, 16))
@@ -198,7 +206,7 @@ class BatchedCurve:
             xi = int(f.from_limbs_mont(x[i])[()])
             yi = int(f.from_limbs_mont(y[i])[()])
             zinv = pow(zi, -1, f.p)
-            out.append((xi * zinv * zinv % f.p, yi * zinv * zinv % f.p * zinv % f.p))
+            out.append((xi * zinv % f.p, yi * zinv % f.p))
         return out
 
     def infinity(self, shape=()) -> dict:
@@ -210,67 +218,78 @@ class BatchedCurve:
     # -- group law ------------------------------------------------------
 
     def double(self, P) -> dict:
-        """dbl-2009-l (a = 0). Infinity-safe (z stays 0)."""
+        """RCB complete doubling, a = 0 (eprint 2015/1060 Algorithm 9).
+
+        6M + 2S + 1 mul-by-3b; valid for every point including infinity.
+        """
         f = self.f
         X, Y, Z = P["x"], P["y"], P["z"]
-        A = f.mul(X, X)
-        B = f.mul(Y, Y)
-        C = f.mul(B, B)
-        t = f.add(X, B)
-        D = f.mul(t, t)
-        D = f.sub(f.sub(D, A), C)
-        D = f.add(D, D)
-        E = f.add(f.add(A, A), A)
-        F = f.mul(E, E)
-        X3 = f.sub(F, f.add(D, D))
-        C8 = f.add(C, C)
-        C8 = f.add(C8, C8)
-        C8 = f.add(C8, C8)
-        Y3 = f.sub(f.mul(E, f.sub(D, X3)), C8)
-        Z3 = f.mul(f.add(Y, Y), Z)
+        b3 = jnp.asarray(self.b3_mont)
+        t0 = f.mul(Y, Y)
+        Z3 = f.add(t0, t0)
+        Z3 = f.add(Z3, Z3)
+        Z3 = f.add(Z3, Z3)  # 8Y^2
+        t1 = f.mul(Y, Z)
+        t2 = f.mul(Z, Z)
+        t2 = f.mul(b3, t2)
+        X3 = f.mul(t2, Z3)
+        Y3 = f.add(t0, t2)
+        Z3 = f.mul(t1, Z3)
+        t1 = f.add(t2, t2)
+        t2 = f.add(t1, t2)
+        t0 = f.sub(t0, t2)
+        Y3 = f.mul(t0, Y3)
+        Y3 = f.add(X3, Y3)
+        t1 = f.mul(X, Y)
+        X3 = f.mul(t0, t1)
+        X3 = f.add(X3, X3)
         return {"x": X3, "y": Y3, "z": Z3}
 
     def add(self, P, Q) -> dict:
-        """Complete addition via masked case-select (add-2007-bl core)."""
+        """RCB complete addition, a = 0 (eprint 2015/1060 Algorithm 7).
+
+        12M + 2 mul-by-3b, one branch-free path for every input pair —
+        doubling, inverses, and infinity included (infinity = (0 : y : 0)).
+        """
         f = self.f
         X1, Y1, Z1 = P["x"], P["y"], P["z"]
         X2, Y2, Z2 = Q["x"], Q["y"], Q["z"]
+        b3 = jnp.asarray(self.b3_mont)
 
-        Z1Z1 = f.mul(Z1, Z1)
-        Z2Z2 = f.mul(Z2, Z2)
-        U1 = f.mul(X1, Z2Z2)
-        U2 = f.mul(X2, Z1Z1)
-        S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
-        S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
-        H = f.sub(U2, U1)
-        Rr = f.sub(S2, S1)
-
-        HH = f.mul(H, H)
-        HHH = f.mul(H, HH)
-        V = f.mul(U1, HH)
-        X3 = f.sub(f.sub(f.mul(Rr, Rr), HHH), f.add(V, V))
-        Y3 = f.sub(f.mul(Rr, f.sub(V, X3)), f.mul(S1, HHH))
-        Z3 = f.mul(f.mul(Z1, Z2), H)
-        gen = {"x": X3, "y": Y3, "z": Z3}
-
-        p_inf = f.is_zero(Z1)
-        q_inf = f.is_zero(Z2)
-        h_zero = f.is_zero(H) & ~p_inf & ~q_inf
-        r_zero = f.is_zero(Rr)
-        dbl_case = h_zero & r_zero
-        inf_case = h_zero & ~r_zero
-
-        dbl = self.double(P)
-        sel = f.select
-        out = {}
-        for k in ("x", "y", "z"):
-            v = gen[k]
-            v = sel(dbl_case, dbl[k], v)
-            v = sel(p_inf, Q[k], v)
-            v = sel(q_inf, P[k], v)
-            out[k] = v
-        out["z"] = sel(inf_case, jnp.zeros_like(out["z"]), out["z"])
-        return out
+        t0 = f.mul(X1, X2)
+        t1 = f.mul(Y1, Y2)
+        t2 = f.mul(Z1, Z2)
+        t3 = f.add(X1, Y1)
+        t4 = f.add(X2, Y2)
+        t3 = f.mul(t3, t4)
+        t4 = f.add(t0, t1)
+        t3 = f.sub(t3, t4)  # X1Y2 + X2Y1
+        t4 = f.add(Y1, Z1)
+        X3 = f.add(Y2, Z2)
+        t4 = f.mul(t4, X3)
+        X3 = f.add(t1, t2)
+        t4 = f.sub(t4, X3)  # Y1Z2 + Y2Z1
+        X3 = f.add(X1, Z1)
+        Y3 = f.add(X2, Z2)
+        X3 = f.mul(X3, Y3)
+        Y3 = f.add(t0, t2)
+        Y3 = f.sub(X3, Y3)  # X1Z2 + X2Z1
+        X3 = f.add(t0, t0)
+        t0 = f.add(X3, t0)  # 3 X1X2
+        t2 = f.mul(b3, t2)
+        Z3 = f.add(t1, t2)
+        t1 = f.sub(t1, t2)
+        Y3 = f.mul(b3, Y3)
+        X3 = f.mul(t4, Y3)
+        t2 = f.mul(t3, t1)
+        X3 = f.sub(t2, X3)
+        Y3 = f.mul(Y3, t0)
+        t1 = f.mul(t1, Z3)
+        Y3 = f.add(t1, Y3)
+        t0 = f.mul(t0, t3)
+        Z3 = f.mul(Z3, t4)
+        Z3 = f.add(Z3, t0)
+        return {"x": X3, "y": Y3, "z": Z3}
 
     # -- scalar multiplication ------------------------------------------
 
@@ -291,6 +310,29 @@ class BatchedCurve:
         return lax.fori_loop(0, 256, body, self.infinity(shape))
 
     # -- MSM -------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def msm_ladder(self, scalars, points) -> dict:
+        """Small-N MSM: batched double-and-add ladder + log-tree reduction.
+
+        Orders of magnitude cheaper to *compile* than the Pippenger kernel
+        (one EC double + one EC add inside a fori_loop, vs. sort + segmented
+        scans) at O(256) serial depth per point — used where compile time
+        dwarfs the work: tiny N, and the multi-chip CPU dry run.
+        """
+        prods = self.scalar_mul(scalars, points)
+        n = prods["z"].shape[0]
+        np2 = 1 << max(0, (n - 1).bit_length())
+        if np2 != n:
+            pad = self.infinity((np2 - n,))
+            prods = {k: jnp.concatenate([prods[k], pad[k]]) for k in prods}
+        while np2 > 1:
+            prods = self.add(
+                {k: v[0::2] for k, v in prods.items()},
+                {k: v[1::2] for k, v in prods.items()},
+            )
+            np2 //= 2
+        return {k: v[0] for k, v in prods.items()}
 
     @partial(jax.jit, static_argnums=(0, 3))
     def msm(self, scalars, points, c: int = 8) -> dict:
@@ -403,11 +445,15 @@ class BatchedCurve:
         shape = mask.shape[:-1]
 
         def masked(pts, m):
+            # masked-out lanes become projective infinity (0 : y : 0) —
+            # x must be zeroed too: (x : y : 0) with x != 0 is off-curve and
+            # the complete formulas only cover curve points.
             n = pts["z"].shape[-2]
+            keep = m[..., None] == 1
             return {
-                "x": jnp.broadcast_to(pts["x"], shape + (n, 16)),
+                "x": jnp.where(keep, pts["x"], jnp.uint32(0)),
                 "y": jnp.broadcast_to(pts["y"], shape + (n, 16)),
-                "z": jnp.where(m[..., None] == 1, pts["z"], jnp.uint32(0)),
+                "z": jnp.where(keep, pts["z"], jnp.uint32(0)),
             }
 
         if N <= seg:
@@ -470,7 +516,7 @@ class BatchedCurve:
                 x = int(f.from_limbs_mont(arrs["x"][i])[()])
                 y = int(f.from_limbs_mont(arrs["y"][i])[()])
                 zinv = pow(z, -1, f.p) if z else 0
-                got = (x * zinv * zinv % f.p, y * zinv * zinv % f.p * zinv % f.p)
+                got = (x * zinv % f.p, y * zinv % f.p)
                 if z == 0 or got != want:
                     arrs, have = None, 0
                     break

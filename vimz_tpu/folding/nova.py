@@ -135,11 +135,30 @@ class _FoldCore:
     PAIR_CHUNK = 64
     PAIR_CHUNK_SMALL = 8
     MSM_CHUNK = 32
+    LEAF_CHUNK: int | None = None  # test override for prove()'s chunk size
+    # HBM budget for one fold-level pair batch's live set (v5e has 16 GB;
+    # leave room for the chunk z/e stores, MSM temps and XLA slack).
+    PAIR_MEM_BUDGET = int(3.0e9)
 
     def __init__(self, dr1cs: DeviceR1CS, curve: BatchedCurve | None = None):
         self.d = dr1cs
         self.curve = curve or bn254_batched()
         self.f = FR_LIMBS
+        # Adaptive pair batch: one fold pair's live set through cross_term +
+        # fold kernels is ~ (4*n_wires + 10*n_constraints) limb vectors of
+        # 64 B each (z1/z2/new_z gathers + matvec outputs + T + e1/e2/new_e).
+        import os as _os
+
+        env = _os.environ.get("VIMZ_PAIR_CHUNK")
+        if env:
+            # Test/CI override: tiny fixed batches keep every EC/fold kernel
+            # at one small compile-cheap shape across the whole suite.
+            self.PAIR_CHUNK = int(env)
+        else:
+            per_pair = (4 * dr1cs.n_wires + 10 * dr1cs.n_constraints) * 64
+            cap = max(1, self.PAIR_MEM_BUDGET // per_pair)
+            cap = 1 << (cap.bit_length() - 1)  # floor to a power of two
+            self.PAIR_CHUNK = int(max(self.PAIR_CHUNK_SMALL, min(64, cap)))
         self.n_wit = dr1cs.n_wires - 1 - dr1cs.n_pub
         n_bases = max(self.n_wit, dr1cs.n_constraints)
         self.bases = self.curve.pedersen_bases(n_bases)
@@ -156,8 +175,9 @@ class _FoldCore:
             nb = _pow2(len(self._bit_idx))
             bb = _index_points(self.bases, self._bit_idx)
             pad = nb - len(self._bit_idx)
+            # pad bases are projective infinity (0 : y : 0)
             self._bit_bases = {
-                "x": jnp.concatenate([bb["x"], jnp.broadcast_to(bb["x"][:1], (pad, 16))]),
+                "x": jnp.concatenate([bb["x"], jnp.zeros((pad, 16), dtype=jnp.uint32)]),
                 "y": jnp.concatenate([bb["y"], jnp.broadcast_to(bb["y"][:1], (pad, 16))]),
                 "z": jnp.concatenate([bb["z"], jnp.zeros((pad, 16), dtype=jnp.uint32)]),
             }
@@ -192,9 +212,9 @@ class _FoldCore:
         return self._msm_chunked(scalars_std, bases, chunk)
 
     def _msm_chunked(self, scalars_std, bases, chunk: int) -> dict:
+        """msm_many in exact `chunk`-instance batches (tail zero-padded) so
+        one (chunk, N) kernel shape serves every call site per base set."""
         m = scalars_std.shape[0]
-        if m <= chunk:
-            return self.curve.msm_many(scalars_std, bases)
         pad = (-m) % chunk
         if pad:
             scalars_std = jnp.concatenate(
@@ -285,6 +305,61 @@ class _FoldCore:
             for i in range(0, k + pad, cs)
         ]
         return jnp.concatenate(parts)[:k]
+
+    # -- fixed-shape host-affine commitment folding ------------------------
+    #
+    # Between tree levels, commitment points live host-side as affine int
+    # pairs (or None = infinity); every device EC call below runs at ONE
+    # batch shape (PAIR_CHUNK) per circuit. Letting point-stack shapes track
+    # the shrinking tree (k = 16, 8, 4, 2, 1 and per-level to_affine over
+    # the whole stack) compiled a fresh multi-minute XLA kernel for every
+    # shape — more wall clock than the folding itself at HD scale.
+
+    def _aff_to_dev(self, pts_aff: list) -> dict:
+        """Affine int list (len <= PAIR_CHUNK, None ok) -> padded device stack."""
+        B = self.PAIR_CHUNK
+        return self.curve.from_affine_ints(list(pts_aff) + [None] * (B - len(pts_aff)))
+
+    def fold_comm_w_batch(self, left_aff: list, right_aff: list, rs: list[int]) -> list:
+        """[l + r*rs] over affine int lists, device-batched at PAIR_CHUNK."""
+        B = self.PAIR_CHUNK
+        out = []
+        for i in range(0, len(left_aff), B):
+            l, r = left_aff[i : i + B], right_aff[i : i + B]
+            k = len(l)
+            r_std, _ = self._r_limbs(list(rs[i : i + B]) + [0] * (B - k))
+            folded = self.fold_points(self._aff_to_dev(l), self._aff_to_dev(r), r_std)
+            out.extend(self.to_affine(folded)[:k])
+        return out
+
+    def fold_comm_e_batch(
+        self, left_aff: list, ct: list | dict, right_aff: list, rs: list[int]
+    ) -> list:
+        """[ce1 + r*ct + r^2*ce2] over affine lists at PAIR_CHUNK.
+
+        `ct` may be a device point stack (already PAIR_CHUNK-padded, the
+        prover's freshly-committed cross terms) or an affine int list. With
+        ce1 = ce2 = infinity this reduces to r*ct (the level-0 E fold) while
+        reusing the same compiled kernel.
+        """
+        B = self.PAIR_CHUNK
+        dev_ct = isinstance(ct, dict)
+        out = []
+        for i in range(0, len(rs), B):
+            k = min(B, len(rs) - i)
+            rk = list(rs[i : i + B]) + [0] * (B - k)
+            r_std, _ = self._r_limbs(rk)
+            r2_std, _ = self._r_limbs([r * r % P for r in rk])
+            ctp = ct if dev_ct else self._aff_to_dev(ct[i : i + B])
+            folded = self.fold_comm_e(
+                self._aff_to_dev(left_aff[i : i + B]),
+                ctp,
+                self._aff_to_dev(right_aff[i : i + B]),
+                r_std,
+                r2_std,
+            )
+            out.extend(self.to_affine(folded)[:k])
+        return out
 
     ROW_BLOCK = 16384  # wire/constraint-axis block for wide elementwise kernels
 
@@ -390,7 +465,11 @@ class FoldingProver(_FoldCore):
         state_len = r1cs.n_pub // 2
         nc = d.n_constraints
 
-        CS = 2 * self.PAIR_CHUNK  # leaf slots per chunk subtree
+        # Leaf slots per chunk subtree: at least 64 so the witness executor
+        # and leaf MSMs stay well batched even when the fold pair batch is
+        # memory-capped small. LEAF_CHUNK overrides for tests exercising the
+        # multi-chunk streaming + tail-overlap paths at tiny sizes.
+        CS = self.LEAF_CHUNK or max(64, 2 * self.PAIR_CHUNK)
         chunk_levels = CS.bit_length() - 1
         x_all = r1cs.inputs[:, : d.n_pub].copy()
         node_comm_t: dict[int, list] = {}
@@ -406,11 +485,14 @@ class FoldingProver(_FoldCore):
                 # a second full set of stage kernels for the odd tail shape.
                 lo = b - CS if (b - a) < CS and S >= CS else a
                 z_c = execute_tape(r1cs, lo, b)
-                if lo < a:
-                    z_c = z_c[a - lo :]
                 w_std_c = self._from_mont_rows(z_c[:, 1 + d.n_pub : d.n_wires])
                 comm_w = self.commit_witnesses(w_std_c)
                 comm_w_aff = self.to_affine(comm_w)
+                if lo < a:
+                    # Overlap rows were recomputed only to keep kernel
+                    # shapes fixed; drop their witnesses and commitments.
+                    z_c = z_c[a - lo :]
+                    comm_w_aff = comm_w_aff[a - lo :]
                 leaf_comm_w_aff.extend(comm_w_aff)
             if progress:
                 print(f"  leaf chunk {a}:{b} committed", flush=True)
@@ -418,8 +500,8 @@ class FoldingProver(_FoldCore):
             state = dict(
                 z_store=_RowStore([z_c]),
                 e_store=None,
-                comm_w=comm_w,
-                comm_e=self.curve.infinity((n,)),
+                comm_w_aff=comm_w_aff,
+                comm_e_aff=[None] * n,
                 u=[1] * n,
                 x=x_all[a:b].copy(),
                 digests=instance_digests_batch(
@@ -434,8 +516,8 @@ class FoldingProver(_FoldCore):
             state = dict(
                 z_store=_RowStore([jnp.concatenate([r["z"] for r in roots])]),
                 e_store=_RowStore([jnp.concatenate([r["e"] for r in roots])]),
-                comm_w=_concat_points([r["comm_w"] for r in roots]),
-                comm_e=_concat_points([r["comm_e"] for r in roots]),
+                comm_w_aff=[r["comm_w_aff"] for r in roots],
+                comm_e_aff=[r["comm_e_aff"] for r in roots],
                 u=[r["u"] for r in roots],
                 x=np.concatenate([r["x"] for r in roots]),
                 digests=[r["digest"] for r in roots],
@@ -450,8 +532,8 @@ class FoldingProver(_FoldCore):
         e_fin = final["e"][0]
         u_host = [final["u"]]
         x_rows = final["x"]
-        comm_w = final["comm_w"]
-        comm_e = final["comm_e"]
+        cw_fin = final["comm_w_aff"]
+        ce_fin = final["comm_e_aff"]
         node_comm_t = node_comm_t_list
 
         if compress:
@@ -460,8 +542,6 @@ class FoldingProver(_FoldCore):
 
             with _span("compress_snark"):
                 sp = SpartanProver(d, self.curve)
-                cw_fin = self.to_affine(comm_w)[0]
-                ce_fin = self.to_affine(comm_e)[0]
                 spartan = sp.prove(
                     u_host[0], list(x_rows[0]), cw_fin, ce_fin,
                     z_fin[: d.n_wires], e_fin,
@@ -489,11 +569,13 @@ class FoldingProver(_FoldCore):
     ) -> dict:
         """Fold a front of instances down to a single root.
 
-        `state` carries the device arrays (z/e row stores, commitment point
-        stacks) and host bookkeeping (u scalars, public rows, digests) for
-        `active` instances; cross terms / folds run in power-of-two pair
-        batches. Emits each level's cross-term commitments into
-        `node_sink[level_offset + level]` (global tree level)."""
+        `state` carries the device arrays (z/e row stores) and host
+        bookkeeping (u scalars, public rows, digests, affine commitment
+        lists) for `active` instances. Every device call — cross terms,
+        fold kernels, MSMs, point folds — runs at ONE fixed batch shape
+        (PAIR_CHUNK pairs, tail-padded), so XLA compiles one kernel set per
+        circuit regardless of tree depth. Emits each level's cross-term
+        commitments into `node_sink[level_offset + level]` (global level)."""
         import jax as _jax
 
         from vimz_tpu.utils.tracing import span
@@ -501,11 +583,12 @@ class FoldingProver(_FoldCore):
         f, d = self.f, self.d
         nc = d.n_constraints
         bases_c = _index_points(self.bases, slice(0, nc))
+        B = self.PAIR_CHUNK
 
         z_store: _RowStore = state["z_store"]
         e_store = state["e_store"]
-        comm_w = state["comm_w"]
-        comm_e = state["comm_e"]
+        cw_aff = list(state["comm_w_aff"])
+        ce_aff = list(state["comm_e_aff"])
         u_host = list(state["u"])
         x_rows = state["x"]
         digests = list(state["digests"])
@@ -514,15 +597,14 @@ class FoldingProver(_FoldCore):
         level = 0
         while active > 1:
             nfull, carry = active // 2, active % 2
-            cs = self._chunk_size(nfull)
             comm_t_affs: list = []
             rs_level: list[int] = []
-            new_z, new_e, cw_parts, ce_parts = [], [], [], []
+            new_z, new_e, new_cw, new_ce = [], [], [], []
             with span("fold_level", level=level_offset + level, pairs=nfull):
-                for pa in range(0, nfull, cs):
-                    pb = min(pa + cs, nfull)
+                for pa in range(0, nfull, B):
+                    pb = min(pa + B, nfull)
                     k = pb - pa
-                    pad = cs - k
+                    pad = B - k
                     zseg = z_store.gather(2 * pa, 2 * pb)
                     z1, z2 = zseg[0::2], zseg[1::2]
                     if pad:
@@ -533,11 +615,14 @@ class FoldingProver(_FoldCore):
                         u_host[2 * pa : 2 * pb : 2] + [0] * pad, dtype=object)))
                     u2 = jnp.asarray(f.to_limbs_mont(np.array(
                         u_host[2 * pa + 1 : 2 * pb : 2] + [0] * pad, dtype=object)))
-                    T = d.cross_term(z1, u1, z2, u2)  # (cs, nc, 16)
+                    T = d.cross_term(z1, u1, z2, u2)  # (B, nc, 16)
+                    # Pad lanes carry garbage; their commitments are
+                    # discarded host-side after to_affine. MSM batch = B so
+                    # the constraint-base MSM has exactly one kernel shape.
                     comm_t = self._msm_chunked(
-                        self._from_mont_rows(T[:k]), bases_c, self.MSM_CHUNK
+                        self._from_mont_rows(T), bases_c, min(self.MSM_CHUNK, B)
                     )
-                    comm_t_aff = self.to_affine(comm_t)
+                    comm_t_aff = self.to_affine(comm_t)[:k]
                     comm_t_affs.extend(comm_t_aff)
                     rs = fold_challenges_batch(
                         digests[2 * pa : 2 * pb : 2],
@@ -549,7 +634,9 @@ class FoldingProver(_FoldCore):
                     new_z.append(self._fold_z_kernel(z1, z2, r_mont)[:k])
                     if e_store is None:
                         new_e.append(self._fold_e0_kernel(T, r_mont)[:k])
-                        ce_parts.append(self.curve.scalar_mul(r_std[:k], comm_t))
+                        new_ce.extend(self.fold_comm_e_batch(
+                            [None] * k, comm_t, [None] * k, rs,
+                        ))
                     else:
                         eseg = e_store.gather(2 * pa, 2 * pb)
                         e1, e2 = eseg[0::2], eseg[1::2]
@@ -563,16 +650,16 @@ class FoldingProver(_FoldCore):
                         new_e.append(
                             self._fold_e_kernel(e1, T, e2, r_mont, r2_mont)[:k]
                         )
-                        ce_parts.append(self.fold_comm_e(
-                            _index_points(comm_e, slice(2 * pa, 2 * pb, 2)),
+                        new_ce.extend(self.fold_comm_e_batch(
+                            ce_aff[2 * pa : 2 * pb : 2],
                             comm_t,
-                            _index_points(comm_e, slice(2 * pa + 1, 2 * pb, 2)),
-                            r_std[:k], r2_std[:k],
+                            ce_aff[2 * pa + 1 : 2 * pb : 2],
+                            rs,
                         ))
-                    cw_parts.append(self.fold_points(
-                        _index_points(comm_w, slice(2 * pa, 2 * pb, 2)),
-                        _index_points(comm_w, slice(2 * pa + 1, 2 * pb, 2)),
-                        r_std[:k],
+                    new_cw.extend(self.fold_comm_w_batch(
+                        cw_aff[2 * pa : 2 * pb : 2],
+                        cw_aff[2 * pa + 1 : 2 * pb : 2],
+                        rs,
                     ))
                     # free fully-consumed child chunks (carry row excluded:
                     # it sits at index 2*nfull >= 2*pb)
@@ -589,13 +676,13 @@ class FoldingProver(_FoldCore):
                         if e_store is not None
                         else jnp.zeros((1, nc, 16), dtype=jnp.uint32)
                     )
-                    cw_parts.append(_index_points(comm_w, slice(ci, ci + 1)))
-                    ce_parts.append(_index_points(comm_e, slice(ci, ci + 1)))
+                    new_cw.append(cw_aff[ci])
+                    new_ce.append(ce_aff[ci])
 
             z_store = _RowStore(new_z)
             e_store = _RowStore(new_e)
-            comm_w = _concat_points(cw_parts)
-            comm_e = _concat_points(ce_parts)
+            cw_aff = new_cw
+            ce_aff = new_ce
 
             u_next = [
                 (u_host[2 * j] + rs_level[j] * u_host[2 * j + 1]) % P
@@ -610,8 +697,6 @@ class FoldingProver(_FoldCore):
                 x_next = np.concatenate([x_next, x_rows[2 * nfull : 2 * nfull + 1]])
 
             active = nfull + carry
-            cw_aff = self.to_affine(comm_w)
-            ce_aff = self.to_affine(comm_e)
             digests = instance_digests_batch(u_next, x_next, cw_aff, ce_aff)
             u_host, x_rows = u_next, x_next
             node_sink.setdefault(level_offset + level, []).extend(comm_t_affs)
@@ -630,8 +715,8 @@ class FoldingProver(_FoldCore):
                 if e_store is not None
                 else jnp.zeros((1, nc, 16), dtype=jnp.uint32)
             ),
-            comm_w=comm_w,
-            comm_e=comm_e,
+            comm_w_aff=cw_aff[0],
+            comm_e_aff=ce_aff[0],
             u=u_host[0],
             x=x_rows[0:1],
             digest=digests[0],
@@ -691,12 +776,13 @@ class FoldingVerifier(_FoldCore):
             if list(x_real[i, sl_len:]) != list(x_real[i + 1, :sl_len]):
                 return False
 
-        # 2) recompute the fold tree over instances only
+        # 2) recompute the fold tree over instances only (commitments as
+        # host affine ints; device EC work at the fixed PAIR_CHUNK shape)
         x_rows = np.zeros((Sp, d.n_pub), dtype=object)
         x_rows[:S] = x_real
         u_host = [1] * S + [0] * (Sp - S)
-        comm_w = self._pad_points(self.curve.from_affine_ints(proof.leaf_comm_w), Sp)
-        comm_e = self.curve.infinity((Sp,))
+        cw_aff = list(proof.leaf_comm_w) + [None] * (Sp - S)
+        ce_aff: list = [None] * Sp
         zd = self._zero_digest()
         digests = instance_digests_batch(
             [1] * S, x_rows[:S], proof.leaf_comm_w, [None] * S
@@ -713,7 +799,6 @@ class FoldingVerifier(_FoldCore):
             carry = active % 2
             if len(comm_t_aff) != nfull:
                 return False
-            sl1, sl2 = slice(0, 2 * nfull, 2), slice(1, 2 * nfull, 2)
             rs = (
                 fold_challenges_batch(
                     digests[0 : 2 * nfull : 2], digests[1 : 2 * nfull : 2], comm_t_aff
@@ -721,51 +806,39 @@ class FoldingVerifier(_FoldCore):
                 if nfull
                 else []
             )
-            if nfull:
-                comm_t = self.curve.from_affine_ints(comm_t_aff)
-                r_std, _ = self._r_limbs(rs)
-                r2_std, _ = self._r_limbs([r * r % P for r in rs])
-                cw_fold = self.fold_points(
-                    _index_points(comm_w, sl1), _index_points(comm_w, sl2), r_std
-                )
-                ce_fold = self.fold_comm_e(
-                    _index_points(comm_e, sl1), comm_t,
-                    _index_points(comm_e, sl2), r_std, r2_std,
-                )
-
-            pieces_cw, pieces_ce = [], []
-            if nfull:
-                pieces_cw.append(cw_fold)
-                pieces_ce.append(ce_fold)
-            if carry:
-                ci = 2 * nfull
-                pieces_cw.append(_index_points(comm_w, slice(ci, ci + 1)))
-                pieces_ce.append(_index_points(comm_e, slice(ci, ci + 1)))
-            nz = k - nfull - carry
-            if nz:
-                pieces_cw.append(self.curve.infinity((nz,)))
-                pieces_ce.append(self.curve.infinity((nz,)))
-            comm_w = _concat_points(pieces_cw)
-            comm_e = _concat_points(pieces_ce)
+            cw_next = self.fold_comm_w_batch(
+                cw_aff[0 : 2 * nfull : 2], cw_aff[1 : 2 * nfull : 2], rs
+            )
+            ce_next = self.fold_comm_e_batch(
+                ce_aff[0 : 2 * nfull : 2],
+                list(comm_t_aff),
+                ce_aff[1 : 2 * nfull : 2],
+                rs,
+            )
 
             u_next = [(u_host[2 * j] + rs[j] * u_host[2 * j + 1]) % P for j in range(nfull)]
             x_next = (
-                x_rows[sl1] + x_rows[sl2] * np.array(rs, dtype=object)[:, None]
+                x_rows[0 : 2 * nfull : 2]
+                + x_rows[1 : 2 * nfull : 2] * np.array(rs, dtype=object)[:, None]
             ) % P if nfull else np.zeros((0, d.n_pub), dtype=object)
             if carry:
-                u_next.append(u_host[2 * nfull])
-                x_next = np.concatenate([x_next, x_rows[2 * nfull : 2 * nfull + 1]])
-            if nz:
-                u_next.extend([0] * nz)
-                x_next = np.concatenate([x_next, np.zeros((nz, d.n_pub), dtype=object)])
+                ci = 2 * nfull
+                cw_next.append(cw_aff[ci])
+                ce_next.append(ce_aff[ci])
+                u_next.append(u_host[ci])
+                x_next = np.concatenate([x_next, x_rows[ci : ci + 1]])
 
+            nz = k - nfull - carry
             n_active_next = nfull + carry
-            cw_aff = self.to_affine(_index_points(comm_w, slice(0, n_active_next)))
-            ce_aff = self.to_affine(_index_points(comm_e, slice(0, n_active_next)))
             digests = instance_digests_batch(
-                u_next[:n_active_next], x_next[:n_active_next], cw_aff, ce_aff
+                u_next, x_next, cw_next, ce_next
             ) + [zd] * nz
-            u_host, x_rows = u_next, x_next
+            cw_aff = cw_next + [None] * nz
+            ce_aff = ce_next + [None] * nz
+            u_host = u_next + [0] * nz
+            x_rows = np.concatenate(
+                [x_next, np.zeros((nz, d.n_pub), dtype=object)]
+            ) if nz else x_next
             active = n_active_next
             m = k
             level += 1
@@ -779,21 +852,17 @@ class FoldingVerifier(_FoldCore):
             # (replaces the clear-witness opening + residual checks).
             from vimz_tpu.snark import SpartanVerifier
 
-            cw_fin = self.to_affine(_index_points(comm_w, slice(0, 1)))[0]
-            ce_fin = self.to_affine(_index_points(comm_e, slice(0, 1)))[0]
             sv = SpartanVerifier(self.d, self.curve)
-            return sv.verify(proof.spartan, u_host[0], list(x_rows[0]), cw_fin, ce_fin)
+            return sv.verify(
+                proof.spartan, u_host[0], list(x_rows[0]), cw_aff[0], ce_aff[0]
+            )
 
         # 3) final opening checks
         w_std = jnp.asarray(f.to_limbs(proof.w_final))
         e_std = jnp.asarray(f.to_limbs(proof.e_final))
-        if self.to_affine(self.commit(w_std))[0] != self.to_affine(
-            _index_points(comm_w, slice(0, 1))
-        )[0]:
+        if self.to_affine(self.commit(w_std))[0] != cw_aff[0]:
             return False
-        if self.to_affine(self.commit(e_std))[0] != self.to_affine(
-            _index_points(comm_e, slice(0, 1))
-        )[0]:
+        if self.to_affine(self.commit(e_std))[0] != ce_aff[0]:
             return False
 
         # 4) relaxed R1CS satisfaction of the final instance

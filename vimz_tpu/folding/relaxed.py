@@ -30,6 +30,35 @@ from vimz_tpu.r1cs.builder import R1CS
 # (batch, block, K, 16) intermediate around a few hundred MB at batch ~64.
 _BUCKETS = ((4, 4096), (16, 2048), (64, 512), (256, 128), (2048, 16))
 
+# Constraint-axis block for elementwise field ops over (batch, n, 16) arrays.
+# One fused limb-mul holds ~double-width column temporaries; blocking keeps
+# them at (batch, blk, 33) instead of (batch, 1.5e5, 33) — the round-2 OOM
+# was exactly this: jit(cross_term) held twenty ~600 MB shift/mask temps.
+_EW_BLOCK = 8192
+
+
+def _map_blocks(fn, arrays, blk: int = _EW_BLOCK):
+    """Apply an elementwise limb fn over axis -2 in lax.map blocks.
+
+    arrays: tuple of (..., n, 16) with identical leading shapes. Captured
+    closure constants (e.g. broadcast scalars) are fine.
+    """
+    n = arrays[0].shape[-2]
+    pad = (-n) % blk
+    if n + pad == blk:
+        return fn(*arrays)
+    stacked = []
+    for a in arrays:
+        if pad:
+            cfg = [(0, 0)] * (a.ndim - 2) + [(0, pad), (0, 0)]
+            a = jnp.pad(a, cfg)
+        s = a.reshape(a.shape[:-2] + (-1, blk, 16))
+        stacked.append(jnp.moveaxis(s, -3, 0))
+    out = lax.map(lambda xs: fn(*xs), tuple(stacked))
+    out = jnp.moveaxis(out, 0, -3)
+    out = out.reshape(out.shape[:-3] + (n + pad, 16))
+    return out[..., :n, :] if pad else out
+
 
 def _pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
@@ -186,20 +215,34 @@ class DeviceR1CS:
         f = self.f
         az = self.matvec(z_mont, "A")
         bz = self.matvec(z_mont, "B")
+
+        lhs = _map_blocks(f.mul, (az, bz))
         cz = self.matvec(z_mont, "C")
-        lhs = f.mul(az, bz)
-        rhs = f.add(f.mul(u_mont[..., None, :], cz), e_mont)
-        return f.sub(lhs, rhs)
+        return _map_blocks(
+            lambda l, c, e: f.sub(l, f.add(f.mul(u_mont[..., None, :], c), e)),
+            (lhs, cz, e_mont),
+        )
 
     @partial(jax.jit, static_argnums=0)
     def cross_term(self, z1, u1, z2, u2):
         """Nova cross term:
         T = Az1*Bz2 + Az2*Bz1 - u1*Cz2 - u2*Cz1, shapes (..., n_constraints, 16).
+
+        The four A/B products are combined first so XLA can retire those
+        matvec outputs before the C matvecs are live; all elementwise limb
+        work is constraint-axis blocked (see _map_blocks).
         """
         f = self.f
-        az1, bz1, cz1 = (self.matvec(z1, m) for m in "ABC")
-        az2, bz2, cz2 = (self.matvec(z2, m) for m in "ABC")
-        t = f.add(f.mul(az1, bz2), f.mul(az2, bz1))
-        t = f.sub(t, f.mul(u1[..., None, :], cz2))
-        t = f.sub(t, f.mul(u2[..., None, :], cz1))
-        return t
+        az1, bz1 = self.matvec(z1, "A"), self.matvec(z1, "B")
+        az2, bz2 = self.matvec(z2, "A"), self.matvec(z2, "B")
+        t = _map_blocks(
+            lambda a1, b2, a2, b1: f.add(f.mul(a1, b2), f.mul(a2, b1)),
+            (az1, bz2, az2, bz1),
+        )
+        cz1, cz2 = self.matvec(z1, "C"), self.matvec(z2, "C")
+        return _map_blocks(
+            lambda tt, c1, c2: f.sub(
+                f.sub(tt, f.mul(u1[..., None, :], c2)), f.mul(u2[..., None, :], c1)
+            ),
+            (t, cz1, cz2),
+        )

@@ -8,7 +8,7 @@ SURVEY §2.2); the TPU-native scale-out axes here are:
   steps/pairs, so arrays shard along their leading step axis.
 - MSM point/bucket partitioning: each chip computes a Pedersen partial sum
   over its slice of bases, and partials are combined with an all_gather over
-  ICI followed by a log-width Jacobian reduction.
+  ICI followed by a log-width projective reduction.
 
 Everything uses jax.sharding.Mesh + NamedSharding/shard_map so XLA inserts
 the collectives.
@@ -42,12 +42,17 @@ def sharded_cross_term(d, mesh: Mesh, z1, u1, z2, u2):
     return fn(z1, u1, z2, u2)
 
 
-def sharded_msm_partials(curve, mesh: Mesh, scalars_std, points, c: int = 8):
+def sharded_msm_partials(
+    curve, mesh: Mesh, scalars_std, points, c: int = 8, impl: str = "pippenger"
+):
     """MSM with bases partitioned across chips.
 
-    Each chip runs a local Pippenger over its slice of (scalars, points);
-    the per-chip partial sums are all_gathered and combined with a small
-    Jacobian reduction on every chip (result replicated).
+    Each chip runs a local MSM over its slice of (scalars, points); the
+    per-chip partial sums are all_gathered and combined with a small
+    projective reduction on every chip (result replicated). impl="ladder"
+    swaps in the compile-light double-and-add kernel (msm_ladder) — same
+    sharding/collective structure, used by the CPU dry run where the
+    Pippenger sort/scan machinery takes many minutes to compile.
     """
     n = scalars_std.shape[0]
     n_dev = mesh.devices.size
@@ -55,13 +60,16 @@ def sharded_msm_partials(curve, mesh: Mesh, scalars_std, points, c: int = 8):
 
     def local(scalars_shard, x, y, z):
         pts = {"x": x, "y": y, "z": z}
-        part = curve.msm(scalars_shard, pts, c)
-        gx = jax.lax.all_gather(part["x"], "fold")
-        gy = jax.lax.all_gather(part["y"], "fold")
-        gz = jax.lax.all_gather(part["z"], "fold")
-        acc = {"x": gx[0], "y": gy[0], "z": gz[0]}
-        for i in range(1, n_dev):
-            acc = curve.add(acc, {"x": gx[i], "y": gy[i], "z": gz[i]})
+        if impl == "ladder":
+            part = curve.msm_ladder(scalars_shard, pts)
+        else:
+            part = curve.msm(scalars_shard, pts, c)
+        g = {k: jax.lax.all_gather(part[k], "fold") for k in part}
+        np2 = 1 << max(0, (n_dev - 1).bit_length())
+        if np2 != n_dev:  # pad with infinity (Z = 0) to a power of two
+            pad = curve.infinity((np2 - n_dev,))
+            g = {k: jnp.concatenate([g[k], pad[k]]) for k in g}
+        acc = curve._pair_tree(g, np2)  # log-depth combine (3 adds at 8 chips)
         return acc["x"], acc["y"], acc["z"]
 
     # check_vma=False: the Pippenger bucket walk seeds its fori_loop carries

@@ -225,6 +225,81 @@ def _iszero_stage(W, idx, c, out, one_mont, zero16):
 
 
 # ----------------------------------------------------------------------
+# Host executor (exact Python-int interpretation of the tape)
+# ----------------------------------------------------------------------
+
+
+def execute_tape_host(r1cs, lo: int = 0, hi: int | None = None) -> np.ndarray:
+    """Interpret the witness tape with Python ints: (hi-lo, n_wires) object.
+
+    Used where compiling the batched device kernels is not worth it — tiny
+    instances (the multi-chip dry run, unit tests) on hosts where the first
+    XLA CPU compile of the stage kernels dominates wall clock.
+    """
+    from vimz_tpu.poseidon.params import circomlib_params
+
+    if hi is None:
+        hi = r1cs.inputs.shape[0]
+    S = hi - lo
+    W = np.zeros((S, r1cs.n_wires), dtype=object)
+    W[:, 0] = 1
+    W[:, 1 : 1 + r1cs.n_inputs] = r1cs.inputs[lo:hi]
+
+    def ev(lc, s):
+        return sum(W[s, w] * c for w, c in lc.terms.items()) % P
+
+    for op in r1cs.tape:
+        if op.kind == "mul":
+            a, b = op.lcs
+            for s in range(S):
+                W[s, op.out] = ev(a, s) * ev(b, s) % P
+        elif op.kind == "bits":
+            (x,) = op.lcs
+            for s in range(S):
+                v = ev(x, s)
+                for i in range(op.meta):
+                    W[s, op.out + i] = (v >> i) & 1
+        elif op.kind == "iszero":
+            (x,) = op.lcs
+            for s in range(S):
+                v = ev(x, s)
+                W[s, op.out] = pow(v, P - 2, P) if v else 0
+                W[s, op.out + 1] = 0 if v else 1
+        elif op.kind == "perm":
+            p = circomlib_params(op.meta)
+            t, half = p.t, p.full_rounds // 2
+            for s in range(S):
+                state = [ev(lc, s) for lc in op.lcs]
+                w = op.out
+                for r in range(p.rounds):
+                    state = [(v + p.ark[r][i]) % P for i, v in enumerate(state)]
+                    if r < half or r >= half + p.partial_rounds:
+                        for i in range(t):
+                            x = state[i]
+                            x2 = x * x % P
+                            x4 = x2 * x2 % P
+                            x5 = x4 * x % P
+                            W[s, w : w + 3] = [x2, x4, x5]
+                            state[i] = x5
+                            w += 3
+                    else:
+                        x = state[0]
+                        x2 = x * x % P
+                        x4 = x2 * x2 % P
+                        x5 = x4 * x % P
+                        W[s, w : w + 3] = [x2, x4, x5]
+                        state[0] = x5
+                        w += 3
+                    state = [
+                        sum(state[j] * p.mds[i][j] for j in range(t)) % P
+                        for i in range(t)
+                    ]
+        else:  # pragma: no cover
+            raise ValueError(f"unknown op kind {op.kind}")
+    return W
+
+
+# ----------------------------------------------------------------------
 # Executor
 # ----------------------------------------------------------------------
 

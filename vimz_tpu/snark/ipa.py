@@ -7,7 +7,7 @@ curve points per round, one scalar at the end.
 
 The reference gets this from nova-snark's ipa_pc evaluation engine inside
 Spartan (vimz/src/nova_snark_backend/mod.rs:19-20 S<G1>/S<G2>); here it is
-re-built on the framework's batched Jacobian curve kernels: all per-round
+re-built on the framework's batched projective curve kernels: all per-round
 MSMs, point folds and vector folds are device-batched.
 
 Splitting convention matches the sumcheck: lo = first half (top index bit 0),
