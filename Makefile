@@ -20,7 +20,7 @@ DEMO_FLAG := $(if $(DEMO),--demo,)
 COMPRESS_FLAG := $(if $(COMPRESS),--compress,)
 
 .PHONY: all test test-all analyze-circuits comparison benchmark check-env \
-        input-data verifier-contracts $(TRANSFORMATIONS)
+        input-data source-images verifier-contracts $(TRANSFORMATIONS)
 
 all: test
 
@@ -39,7 +39,12 @@ comparison:
 check-env:
 	$(PY) scripts/check_env.py
 
-input-data:
+source_image/HD.png:
+	$(PY) scripts/make_source_images.py source_image
+
+source-images: source_image/HD.png
+
+input-data: $(SOURCE)
 	mkdir -p $(INPUT_DIR)
 	for t in grayscale brightness contrast blur sharpness crop resize redact hash; do \
 	  case $$t in \

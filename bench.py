@@ -19,7 +19,7 @@ import time
 
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
-# (reference Ryzen-9 server prove seconds, reference HD fold steps)
+# (reference Ryzen-9 server prove seconds or None, reference HD fold steps)
 BASELINES = {  # README.md:50-56; steps: transformation.rs:93-112
     "grayscale": (240.6, 720),
     "contrast": (371.7, 720),
@@ -28,6 +28,10 @@ BASELINES = {  # README.md:50-56; steps: transformation.rs:93-112
     "resize": (135.7, 240),
     "sharpness": (455.8, 720),
     "blur": (406.0, 720),
+    # no published reference prove time for these two; vs_baseline uses the
+    # cheapest published transform (crop) as a conservative stand-in
+    "redact": (None, 576),  # HD block mode: 576 40x40-block steps
+    "hash": (None, 720),
 }
 
 
@@ -83,6 +87,26 @@ def _build_input(t_name: str, steps: int):
     elif t == Transformation.CROP:
         info = (200 << 24) | (100 << 12)
         return VIMzInput(pack_words_rows(img), None, {"info": info}), t, steps
+    elif t == Transformation.HASH:
+        return VIMzInput(pack_words_rows(img), None, {}), t, steps
+    elif t == Transformation.REDACT:
+        from vimz_tpu.editor import redact_image
+        from vimz_tpu.editor.ops import pack_words_blocks
+
+        n_block_rows = max(1, (steps + 31) // 32)  # 32 blocks per 40-px band
+        rows = 40 * n_block_rows
+        img = rng.integers(0, 256, (rows, 1280, 3), dtype=np.uint8)
+        tran, indicators = redact_image(img)
+        n_blocks = n_block_rows * 32
+        return (
+            VIMzInput(
+                pack_words_blocks(img),
+                pack_words_blocks(tran),
+                {"redact": [int(v) for v in indicators]},
+            ),
+            t,
+            n_blocks,
+        )
     else:
         raise SystemExit(f"unsupported VIMZ_BENCH_T={t_name}")
 
@@ -124,14 +148,45 @@ def main():
     t_setup = time.time() - t0
     _note(f"setup done in {t_setup:.1f}s")
 
+    compress = os.environ.get("VIMZ_BENCH_COMPRESS", "") not in ("", "0")
     t0 = time.time()
-    proof = prover.prove(r1cs, progress=True)
+    proof = prover.prove(r1cs, progress=True, compress=compress)
     t_prove = time.time() - t0
-    _note(f"prove done in {t_prove:.1f}s")
+    _note(f"prove done in {t_prove:.1f}s (proof {proof.size_bytes()} bytes)")
+
+    detail = {
+        "steps": steps,
+        "synthesize_s": round(t_synth, 2),
+        "setup_s": round(t_setup, 2),
+        "prove_s": round(t_prove, 2),
+        "n_constraints": r1cs.n_constraints,
+        "proof_bytes": proof.size_bytes(),
+        "compressed": compress,
+        "proof_points": len(proof.leaf_comm_w)
+        + sum(len(l) for l in proof.node_comm_t),
+    }
+
+    if os.environ.get("VIMZ_BENCH_VERIFY", "1") not in ("", "0"):
+        from vimz_tpu.folding import FoldingVerifier
+
+        d2 = d  # same structure; the verifier recomputes the public tree
+        z0 = [int(v) for v in r1cs.inputs[0, : d.n_pub // 2]]
+        zn = [int(v) for v in r1cs.inputs[-1, d.n_pub // 2 : d.n_pub]]
+        t0 = time.time()
+        ok = FoldingVerifier(d2).verify(proof, z0, zn)
+        t_verify = time.time() - t0
+        _note(f"verify done in {t_verify:.1f}s -> {ok}")
+        detail["verify_s"] = round(t_verify, 2)
+        detail["verify_ok"] = bool(ok)
 
     total = t_synth + t_prove  # setup (key gen) excluded, as in the reference
     steps_per_sec = steps / total
-    baseline_steps_per_sec = base_steps / base_s
+    if base_s is None:
+        # no published reference number; report vs the cheapest published
+        # transform (crop 133.0 s / 720 steps) as a conservative stand-in
+        baseline_steps_per_sec = 720 / 133.0
+    else:
+        baseline_steps_per_sec = base_steps / base_s
     print(
         json.dumps(
             {
@@ -139,15 +194,7 @@ def main():
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 3),
-                "detail": {
-                    "steps": steps,
-                    "synthesize_s": round(t_synth, 2),
-                    "setup_s": round(t_setup, 2),
-                    "prove_s": round(t_prove, 2),
-                    "n_constraints": r1cs.n_constraints,
-                    "proof_points": len(proof.leaf_comm_w)
-                    + sum(len(l) for l in proof.node_comm_t),
-                },
+                "detail": detail,
             }
         )
     )

@@ -1,67 +1,58 @@
 // SPDX-License-Identifier: MIT
 pragma solidity ^0.8.26;
 
-/// @notice Manufacturer-registrar device registry with ECDSA capture
-/// signatures (simulator mirror: vimz_tpu/marketplace/contracts.py
-/// DeviceRegistry; reference layout: marketplace/contracts/
-/// DeviceRegistry.sol:6-60).
-contract DeviceRegistry {
-    struct Device {
-        address registrar;
-    }
+import {AccessControlled} from "./AccessControlled.sol";
 
-    address public immutable admin;
+/// @notice Registry of C2PA-style capture devices. Camera manufacturers are
+/// approved by the admin as *registrars*; registrars enroll device signing
+/// keys (as Ethereum addresses); the gateway then checks device signatures
+/// over capture attestations via `verifyDeviceSignature`.
+///
+/// Original vimz-tpu design (simulator source of truth:
+/// vimz_tpu/marketplace/contracts.py DeviceRegistry). Pinned external
+/// surface, for compatibility with the reference marketplace SDK: the
+/// `registerRegistrar` / `registerDevice` / `verifyDeviceSignature`
+/// selectors and the two events.
+contract DeviceRegistry is AccessControlled {
+    /// device key -> the registrar that enrolled it (zero = unknown device).
+    mapping(address => address) public enrolledBy;
+    /// approved manufacturers.
     mapping(address => bool) public registrars;
-    mapping(address => Device) public devices;
 
     event RegistrarAdded(address registrar);
     event DeviceRegistered(address device, address registrar);
 
-    modifier onlyAdmin() {
-        require(msg.sender == admin, "Not admin");
-        _;
-    }
-
-    modifier onlyRegistrar() {
-        require(registrars[msg.sender], "Not a registrar");
-        _;
-    }
-
-    constructor() {
-        admin = msg.sender;
-    }
-
-    function registerRegistrar(address registrar) external onlyAdmin {
+    function registerRegistrar(address registrar) external adminOnly {
         require(!registrars[registrar], "Already a registrar");
         registrars[registrar] = true;
         emit RegistrarAdded(registrar);
     }
 
-    function registerDevice(address devicePubKey) external onlyRegistrar {
-        require(devices[devicePubKey].registrar == address(0), "Device already registered");
-        devices[devicePubKey] = Device({registrar: msg.sender});
-        emit DeviceRegistered(devicePubKey, msg.sender);
+    function registerDevice(address deviceKey) external {
+        require(registrars[msg.sender], "Not a registrar");
+        require(enrolledBy[deviceKey] == address(0), "Device already registered");
+        enrolledBy[deviceKey] = msg.sender;
+        emit DeviceRegistered(deviceKey, msg.sender);
     }
 
-    function verifyDeviceSignature(bytes32 messageHash, bytes memory signature, address deviceAddress)
-        external
-        view
-        returns (bool)
-    {
-        require(devices[deviceAddress].registrar != address(0), "Device not found");
-        return recoverSigner(messageHash, signature) == deviceAddress;
-    }
-
-    function recoverSigner(bytes32 messageHash, bytes memory signature) internal pure returns (address) {
-        require(signature.length == 65, "Invalid signature length");
+    /// @notice True iff `signature` is a valid 65-byte (r||s||v) ECDSA
+    /// signature by the enrolled device key over `digest`.
+    function verifyDeviceSignature(
+        bytes32 digest,
+        bytes memory signature,
+        address deviceKey
+    ) external view returns (bool) {
+        require(enrolledBy[deviceKey] != address(0), "Device not found");
+        if (signature.length != 65) return false;
         bytes32 r;
         bytes32 s;
         uint8 v;
         assembly {
-            r := mload(add(signature, 32))
-            s := mload(add(signature, 64))
-            v := byte(0, mload(add(signature, 96)))
+            r := mload(add(signature, 0x20))
+            s := mload(add(signature, 0x40))
+            v := byte(0, mload(add(signature, 0x60)))
         }
-        return ecrecover(messageHash, v, r, s);
+        if (v < 27) v += 27;
+        return ecrecover(digest, v, r, s) == deviceKey;
     }
 }

@@ -3,8 +3,13 @@ pragma solidity ^0.8.26;
 
 /// @notice How editions may be created. Ordered so that a larger value is a
 /// more permissive policy (monotone upgrade rule).
-/// Mirrors the simulator types in vimz_tpu/marketplace/contracts.py; the
-/// reference layout is marketplace/contracts/Utils.sol.
+///
+/// COMPATIBILITY PIN: the enum orderings and struct field layouts in this
+/// file ARE the wire schema shared with the reference marketplace SDK
+/// (reference: marketplace/contracts/Utils.sol) and with this framework's
+/// simulator types (vimz_tpu/marketplace/contracts.py). They are kept
+/// byte-identical on purpose; everything else in contracts/ is original
+/// vimz-tpu code.
 enum EditionPolicy {
     Sealed, // 0 - no-one may register editions
     OnlyOwner, // 1 - only the current root owner may register editions

@@ -101,6 +101,28 @@ def _n_perms(words: np.ndarray) -> int:
     return S * ((L + 7) // 8 + 1)
 
 
+# Fixed row-batch for the device hash kernels: the (S, L) shapes otherwise
+# track the step count, and each fresh shape costs minutes of XLA compile
+# (not persistently cacheable on the axon platform). With padding to one
+# 512-row shape, the kernels compile once per row width L.
+_CHAIN_BATCH = 512
+
+
+def _row_folds_device(words: np.ndarray) -> np.ndarray:
+    """(S, L) -> (S,) window-fold hashes via fixed-shape device batches."""
+    S, L = words.shape
+    h = _hasher()
+    out = []
+    for a in range(0, S, _CHAIN_BATCH):
+        chunk = words[a : a + _CHAIN_BATCH]
+        pad = _CHAIN_BATCH - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, L), dtype=object)])
+        folds = _ints(h.array_hash_circom(_words_to_mont(chunk)))
+        out.append(folds[: _CHAIN_BATCH - pad])
+    return np.concatenate(out)
+
+
 def _row_chain(words: np.ndarray) -> np.ndarray:
     """(S, L) packed words -> (S+1,) running-hash chain (object ints)."""
     if _n_perms(words) <= _HOST_HASH_PERMS:
@@ -110,7 +132,8 @@ def _row_chain(words: np.ndarray) -> np.ndarray:
         for row in words:
             accs.append(circom_poseidon([accs[-1], circom_array_hash([int(w) for w in row])]))
         return np.array(accs, dtype=object)
-    return _ints(_hasher().chain_circom(_words_to_mont(words)))
+    folds = _row_folds_device(words)
+    return _fold_chain_from_hashes(list(folds))
 
 
 def _row_folds(words: np.ndarray) -> np.ndarray:
@@ -121,7 +144,7 @@ def _row_folds(words: np.ndarray) -> np.ndarray:
         return np.array(
             [circom_array_hash([int(w) for w in row]) for row in words], dtype=object
         )
-    return _ints(_hasher().array_hash_circom(_words_to_mont(words)))
+    return _row_folds_device(words)
 
 
 def _fold_chain_from_hashes(hashes: list[int], mask=None) -> np.ndarray:
@@ -549,13 +572,20 @@ _STRUCTURES: dict[tuple, Builder] = {}
 
 
 def build_structure(transformation: Transformation, n_ext: int, ctx: dict) -> Builder:
-    """Build (or load from cache) the constraint structure + witness tape."""
-    from vimz_tpu.utils.cache import disk_load, disk_save, source_fingerprint
+    """Build (or load from cache) the constraint structure + witness tape.
+
+    The disk cache is keyed by STRUCTURE_VERSION (a manually-bumped semantic
+    version), NOT a source fingerprint: circuit layouts change rarely, and
+    fingerprint keying meant every refactor of builder/gadget code re-paid
+    the full Python structure build (~minutes per circuit at HD widths).
+    Bump STRUCTURE_VERSION whenever a circuit's constraints/tape change; the
+    VIMZ_DEBUG_CHECK satisfaction canary in tests catches a forgotten bump.
+    """
+    from vimz_tpu.utils.cache import disk_load, disk_save
 
     spec = CIRCUITS[transformation]
     key = (
         STRUCTURE_VERSION,
-        source_fingerprint(),
         transformation.value,
         spec.state_len,
         n_ext,

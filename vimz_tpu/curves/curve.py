@@ -291,6 +291,15 @@ class BatchedCurve:
         Z3 = f.add(Z3, t0)
         return {"x": X3, "y": Y3, "z": Z3}
 
+    @partial(jax.jit, static_argnums=0)
+    def add_points(self, P, Q) -> dict:
+        """Jitted `add` for host-driven call sites.
+
+        An eager EC add dispatches ~3k primitives one by one — over the
+        tunneled TPU that is seconds of launch latency per call; always use
+        this wrapper outside a surrounding jit."""
+        return self.add(P, Q)
+
     # -- scalar multiplication ------------------------------------------
 
     @partial(jax.jit, static_argnums=0)
@@ -311,44 +320,138 @@ class BatchedCurve:
 
     # -- MSM -------------------------------------------------------------
 
+    def _tree_reduce_loop(self, P: dict, n: int) -> dict:
+        """Log-depth sum over the leading point axis with ONE add instance.
+
+        Fixed-width formulation: level k adds lanes shifted by 2^k (tail
+        filled with infinity), inside a fori_loop — so the compiled graph
+        contains a single EC add regardless of n. Work is n*log2(n) lane
+        adds instead of the halving tree's n, but XLA CPU pays ~15-20 s of
+        compile per EC-add *instance*, which made unrolled trees the single
+        biggest test-suite cost. Used on compile-light paths (ladder MSMs);
+        the TPU hot paths keep the work-optimal unrolled `_pair_tree`.
+        """
+        np2 = 1 << max(0, (n - 1).bit_length())
+        if np2 != n:
+            pad = self.infinity((np2 - n,) + P["z"].shape[1:-1])
+            P = {k: jnp.concatenate([P[k], pad[k]]) for k in P}
+        if np2 == 1:
+            return {k: v[0] for k, v in P.items()}
+        inf = self.infinity(P["z"].shape[:-1])
+
+        def level(k, acc):
+            shift = jnp.int32(1) << k
+            shifted = {
+                key: lax.dynamic_slice_in_dim(
+                    jnp.concatenate([acc[key], inf[key]], axis=0), shift, np2, 0
+                )
+                for key in acc
+            }
+            return self.add(acc, shifted)
+
+        acc = lax.fori_loop(0, np2.bit_length() - 1, level, P)
+        return {k: v[0] for k, v in acc.items()}
+
     @partial(jax.jit, static_argnums=0)
     def msm_ladder(self, scalars, points) -> dict:
-        """Small-N MSM: batched double-and-add ladder + log-tree reduction.
+        """Small-N MSM: batched double-and-add ladder + loop-tree reduction.
 
         Orders of magnitude cheaper to *compile* than the Pippenger kernel
         (one EC double + one EC add inside a fori_loop, vs. sort + segmented
         scans) at O(256) serial depth per point — used where compile time
-        dwarfs the work: tiny N, and the multi-chip CPU dry run.
+        dwarfs the work: tiny N, CPU tests, and the multi-chip dry run.
         """
         prods = self.scalar_mul(scalars, points)
-        n = prods["z"].shape[0]
-        np2 = 1 << max(0, (n - 1).bit_length())
-        if np2 != n:
-            pad = self.infinity((np2 - n,))
-            prods = {k: jnp.concatenate([prods[k], pad[k]]) for k in prods}
-        while np2 > 1:
-            prods = self.add(
-                {k: v[0::2] for k, v in prods.items()},
-                {k: v[1::2] for k, v in prods.items()},
-            )
-            np2 //= 2
-        return {k: v[0] for k, v in prods.items()}
+        return self._tree_reduce_loop(prods, prods["z"].shape[0])
+
+    def _seg_scan_points(self, pts: dict, starts) -> dict:
+        """Segmented inclusive EC prefix scan along the last point axis.
+
+        `starts`: (N,) bool, True where a segment begins. Kogge–Stone
+        formulation — log2(N) fori_loop levels with ONE EC-add instance in
+        the compiled graph (an unrolled tree costs XLA ~15-20 s of compile
+        PER add instance). Work is N*log2(N) lane adds; used once per MSM
+        (value dedup), not per window.
+        """
+        N = starts.shape[-1]
+        if N == 1:
+            return pts
+        inf = self.infinity((N,))
+        # carry: (x, y, z, blocked); blocked[i] = scan at i may not look
+        # further left (a segment start lies in (i-dist, i]).
+        carry = dict(pts)
+        carry["blk"] = starts
+
+        def level(k, cur):
+            shift = jnp.int32(1) << k
+            # partner j = i - shift, identity-padded at the head
+            def shifted(arr, fill):
+                full = jnp.concatenate([fill, arr], axis=0)
+                return lax.dynamic_slice_in_dim(full, jnp.int32(N) - shift, N, 0)
+
+            part = {
+                key: shifted(cur[key], inf[key]) for key in ("x", "y", "z")
+            }
+            part_blk = shifted(cur["blk"], jnp.ones(N, dtype=bool))
+            s = self.add({k: cur[k] for k in ("x", "y", "z")}, part)
+            take = cur["blk"][..., None]
+            out = {
+                k: jnp.where(take, cur[k], s[k]) for k in ("x", "y", "z")
+            }
+            out["blk"] = cur["blk"] | part_blk
+            return out
+
+        levels = (N - 1).bit_length()
+        out = lax.fori_loop(0, levels, level, carry)
+        return {k: out[k] for k in ("x", "y", "z")}
+
+    def _dedup_scalars(self, scalars, points) -> tuple:
+        """Collapse duplicate scalar values: returns (scalars', points') of
+        the same shapes where each distinct value keeps ONE lane carrying the
+        summed point, and all other lanes get scalar 0 (excluded from every
+        Pippenger bucket — no compaction needed).
+
+        Real cross-term vectors repeat a few values 10^4-10^5 times
+        (structured circuits); without dedup those duplicates share a digit
+        in EVERY window and the bucket-serial walk's data-dependent trip
+        count explodes ~100x, overrunning the TPU worker's execution
+        deadline (the round-1..3 bench crash).
+        """
+        N = scalars.shape[0]
+        # 32-bit mixed sort key; ties are resolved by exact-equality flags,
+        # a collision only splits a value across <=2 lanes (still correct).
+        mix = scalars[:, 0]
+        for j in range(1, 16):
+            mix = mix * jnp.uint32(0x9E3779B1) + scalars[:, j]
+        order = jnp.argsort(mix)
+        sc = scalars[order]
+        pts = {k: points[k][order] for k in points}
+        neq = jnp.any(sc[1:] != sc[:-1], axis=-1)
+        starts = jnp.concatenate([jnp.ones(1, dtype=bool), neq])
+        pref = self._seg_scan_points(pts, starts)
+        # segment end = last lane of its value run: it holds the summed point
+        is_end = jnp.concatenate([starts[1:], jnp.ones(1, dtype=bool)])
+        inf = self.infinity((N,))
+        pts_out = {k: jnp.where(is_end[:, None], pref[k], inf[k]) for k in pref}
+        sc_out = jnp.where(is_end[:, None], sc, jnp.zeros_like(sc))
+        return sc_out, pts_out
 
     @partial(jax.jit, static_argnums=(0, 3))
     def msm(self, scalars, points, c: int = 8) -> dict:
         """Pippenger MSM: sum_i scalars[i] * points[i].
 
         scalars: (N, 16) standard-form limbs; points: batched dict (N, 16).
-        Bucket accumulation per window: sort points by digit so each bucket
-        owns a contiguous run, then walk all runs in lockstep — one vector
-        lane per bucket, `max_run_len` sequential batched adds (the
-        sppark-style bucket-serial walk, reformulated for static shapes:
-        work ~= N adds per window, all 2^c lanes vectorized).
+        Value-dedup preprocessing (one segmented scan) bounds the bucket
+        walk's run lengths; per window: sort by digit, lockstep bucket-run
+        walk (one vector lane per bucket), log-depth weighted bucket sum.
         """
         f = self.f
         N = scalars.shape[0]
         n_windows = 256 // c
         n_buckets = 1 << c
+
+        if N > 1:
+            scalars, points = self._dedup_scalars(scalars, points)
 
         def window_digits(w):
             bit0 = w * c
@@ -365,9 +468,8 @@ class BatchedCurve:
             bucket_ids = jnp.arange(n_buckets, dtype=jnp.int32)
             start = jnp.searchsorted(d_sorted, bucket_ids, side="left")
             end = jnp.searchsorted(d_sorted, bucket_ids, side="right")
-            # bucket 0 contributes nothing — excluding it keeps the walk
-            # short for skewed digit distributions (small-value scalars put
-            # nearly everything in bucket 0 for the higher windows)
+            # bucket 0 contributes nothing (also where dedup parks the
+            # masked-out duplicate lanes)
             length = jnp.where(bucket_ids == 0, 0, end - start)
             max_len = jnp.max(length)
 
@@ -414,6 +516,13 @@ class BatchedCurve:
         all fold steps run as one kernel.
         """
         return jax.vmap(lambda s: self.msm(s, points, c))(scalars)
+
+    @partial(jax.jit, static_argnums=0)
+    def msm_many_ladder(self, scalars, points) -> dict:
+        """Batched ladder MSMs (compile-light path; same results as
+        msm_many — the two implementations compute the identical group sum,
+        so proofs are bit-identical whichever is used)."""
+        return jax.vmap(lambda s: self.msm_ladder(s, points))(scalars)
 
     def _pair_tree(self, P: dict, n: int) -> dict:
         """Pairwise log-depth sum over the second-to-last point axis."""

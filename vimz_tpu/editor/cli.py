@@ -54,6 +54,14 @@ def parse_args(argv=None):
     parser.add_argument("--y", type=int)
     parser.add_argument("--crop-size", choices=["SD", "HD", "FHD"])
     parser.add_argument("--resize-option", choices=["HD to SD", "4K to FHD"])
+    parser.add_argument(
+        "--preview",
+        nargs="?",
+        const="show",
+        metavar="PNG",
+        help="side-by-side before/after preview: no value = interactive "
+        "window, with a path = save the figure there",
+    )
     return parser.parse_args(argv)
 
 
@@ -113,6 +121,19 @@ def main(argv=None):
     if args.save_png and transformed is not None:
         Image.fromarray(transformed).save(args.save_png)
         print(f"Transformed image saved as {args.save_png}")
+
+    if args.preview and transformed is not None:
+        from vimz_tpu.editor.plotting import preview_pair
+
+        show = args.preview == "show"
+        preview_pair(
+            image,
+            transformed,
+            save_to=None if show else args.preview,
+            show=show,
+        )
+        if not show:
+            print(f"Preview saved as {args.preview}")
 
 
 if __name__ == "__main__":

@@ -140,10 +140,22 @@ class _FoldCore:
     # leave room for the chunk z/e stores, MSM temps and XLA slack).
     PAIR_MEM_BUDGET = int(3.0e9)
 
-    def __init__(self, dr1cs: DeviceR1CS, curve: BatchedCurve | None = None):
+    def __init__(
+        self, dr1cs: DeviceR1CS, curve: BatchedCurve | None = None, mesh=None
+    ):
         self.d = dr1cs
         self.curve = curve or bn254_batched()
         self.f = FR_LIMBS
+        # Multi-chip: shard the step/pair/instance axis of the heavy batched
+        # kernels over `mesh`'s 'fold' axis (pure data parallelism — per
+        # instance work is independent, so the sharded prove is bit-identical
+        # to the single-device one; see parallel/mesh.py).
+        self.mesh = mesh
+        # msm implementation: "pippenger" (default) or "ladder" (the
+        # compile-light double-and-add path — used by the CPU dry run).
+        import os as _os
+
+        self.msm_impl = _os.environ.get("VIMZ_MSM_IMPL", "pippenger")
         # Adaptive pair batch: one fold pair's live set through cross_term +
         # fold kernels is ~ (4*n_wires + 10*n_constraints) limb vectors of
         # 64 B each (z1/z2/new_z gathers + matvec outputs + T + e1/e2/new_e).
@@ -193,12 +205,28 @@ class _FoldCore:
         bounded padding waste as tree levels halve."""
         return max(self.PAIR_CHUNK_SMALL, min(self.PAIR_CHUNK, _pow2(n)))
 
+    def _shard(self, arr):
+        """Place a batched array with its leading axis sharded over the
+        mesh's 'fold' axis (no-op without a mesh). Downstream jitted kernels
+        inherit the sharding, so XLA partitions them SPMD."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        if arr.shape[0] % self.mesh.devices.size != 0:
+            return arr
+        spec = PSpec("fold", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
     # -- commitments -------------------------------------------------------
 
     def commit(self, scalars_std) -> dict:
         """(N, 16) standard-form scalars -> Pedersen commitment point."""
         n = scalars_std.shape[0]
-        return self.curve.msm(scalars_std, _index_points(self.bases, slice(0, n)))
+        bases = _index_points(self.bases, slice(0, n))
+        if self.msm_impl == "ladder":
+            return self.curve.msm_ladder(scalars_std, bases)
+        return self.curve.msm(scalars_std, bases)
 
     def commit_many(self, scalars_std, chunk: int | None = None) -> dict:
         """(m, N, 16) -> stacked points (m,) — vmapped MSM kernels.
@@ -220,15 +248,25 @@ class _FoldCore:
             scalars_std = jnp.concatenate(
                 [scalars_std, jnp.zeros((pad,) + scalars_std.shape[1:], dtype=scalars_std.dtype)]
             )
+        msm = (
+            self.curve.msm_many_ladder
+            if self.msm_impl == "ladder"
+            else self.curve.msm_many
+        )
         parts = [
-            self.curve.msm_many(scalars_std[i : i + chunk], bases)
+            msm(self._shard(scalars_std[i : i + chunk]), bases)
             for i in range(0, m + pad, chunk)
         ]
         return {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
 
     def commit_witnesses(self, w_std) -> dict:
-        """Leaf witness commitments (m, n_wit) with the bit/full class split."""
-        if self._bit_bases is None:
+        """Leaf witness commitments (m, n_wit) with the bit/full class split.
+
+        In ladder mode (tests / CPU dry run) the split is skipped: the
+        masked tree-sum and Pippenger kernels take pathologically long to
+        compile on XLA CPU (10 / 30+ minutes), while the ladder computes the
+        identical group sums from one compile-light kernel."""
+        if self._bit_bases is None or self.msm_impl == "ladder":
             return self.commit_many(w_std)
         m = w_std.shape[0]
         nb = self._bit_bases["z"].shape[0]
@@ -246,13 +284,13 @@ class _FoldCore:
                 sl = jnp.concatenate(
                     [sl, jnp.zeros((chunk - sl.shape[0], nb), dtype=jnp.uint32)]
                 )
-            parts.append(self.curve.sum_masked(sl, self._bit_bases))
+            parts.append(self.curve.sum_masked(self._shard(sl), self._bit_bases))
         comm_bit = {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
         if len(self._full_idx):
             comm_full = self._msm_chunked(
                 w_std[:, self._full_idx], self._full_bases, chunk
             )
-            return self.curve.add(comm_bit, comm_full)
+            return self.curve.add_points(comm_bit, comm_full)
         return comm_bit
 
     # -- point helpers -----------------------------------------------------
@@ -260,12 +298,14 @@ class _FoldCore:
     def to_affine(self, pts: dict) -> list:
         return self.curve.to_affine_ints(pts)
 
+    @partial(jax.jit, static_argnums=0)
     def fold_points(self, p1: dict, p2: dict, r_std) -> dict:
-        """p1 + r * p2, batched."""
+        """p1 + r * p2, batched (jitted: called from host-driven loops)."""
         return self.curve.add(p1, self.curve.scalar_mul(r_std, p2))
 
+    @partial(jax.jit, static_argnums=0)
     def fold_comm_e(self, ce1: dict, ct: dict, ce2: dict, r_std, r2_std) -> dict:
-        """ce1 + r*ct + r^2*ce2, batched."""
+        """ce1 + r*ct + r^2*ce2, batched (jitted)."""
         return self.curve.add(
             ce1,
             self.curve.add(
@@ -455,10 +495,34 @@ class FoldingProver(_FoldCore):
     """
 
     def prove(
-        self, r1cs: R1CS, progress: bool = False, compress: bool = False
+        self,
+        r1cs: R1CS,
+        progress: bool = False,
+        compress: bool = False,
+        host_witness: bool = False,
     ) -> FoldProof:
         from vimz_tpu.r1cs.witness import execute_tape
         from vimz_tpu.utils.tracing import span
+
+        def leaf_witness(lo: int, hi: int):
+            if host_witness:
+                # Host-interpreted tape (exact Python ints) — used by the
+                # multi-chip dry run where first-compiling the batched stage
+                # kernels costs more than the tiny instances they compute.
+                from vimz_tpu.r1cs.witness import execute_tape_host
+
+                w = execute_tape_host(r1cs, lo, hi)
+                limbs = self.f.to_limbs_mont(w)
+                limbs = np.concatenate(
+                    [limbs, np.zeros((hi - lo, 1, 16), dtype=np.uint32)], axis=1
+                )
+                return self._shard(jnp.asarray(limbs))
+            sharding = None
+            if self.mesh is not None and (hi - lo) % self.mesh.devices.size == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+                sharding = NamedSharding(self.mesh, PSpec("fold", None, None))
+            return execute_tape(r1cs, lo, hi, sharding=sharding)
 
         f, d = self.f, self.d
         S = r1cs.S
@@ -484,7 +548,7 @@ class FoldingProver(_FoldCore):
                 # ~40% of one chunk's tape work is far cheaper than compiling
                 # a second full set of stage kernels for the odd tail shape.
                 lo = b - CS if (b - a) < CS and S >= CS else a
-                z_c = execute_tape(r1cs, lo, b)
+                z_c = leaf_witness(lo, b)
                 w_std_c = self._from_mont_rows(z_c[:, 1 + d.n_pub : d.n_wires])
                 comm_w = self.commit_witnesses(w_std_c)
                 comm_w_aff = self.to_affine(comm_w)
@@ -615,6 +679,8 @@ class FoldingProver(_FoldCore):
                         u_host[2 * pa : 2 * pb : 2] + [0] * pad, dtype=object)))
                     u2 = jnp.asarray(f.to_limbs_mont(np.array(
                         u_host[2 * pa + 1 : 2 * pb : 2] + [0] * pad, dtype=object)))
+                    z1, z2 = self._shard(z1), self._shard(z2)
+                    u1, u2 = self._shard(u1), self._shard(u2)
                     T = d.cross_term(z1, u1, z2, u2)  # (B, nc, 16)
                     # Pad lanes carry garbage; their commitments are
                     # discarded host-side after to_affine. MSM batch = B so

@@ -80,6 +80,11 @@ class DeviceR1CS:
                 self.bit_mask[op.out : op.out + op.n_out] = True
             elif op.kind == "iszero":
                 self.bit_mask[op.out + 1] = True
+        # Packed matrices are split into (device arrays, static shape meta):
+        # the arrays are passed to the jitted kernels as ARGUMENTS, never as
+        # closed-over constants — XLA constant-folds / lays out embedded
+        # constants during compilation, and the ~40 MB coefficient tables
+        # made jit(cross_term) take >10 minutes to compile per batch shape.
         self.mats = {
             name: self._pack(rows)
             for name, rows in (("A", r1cs.a_rows), ("B", r1cs.b_rows), ("C", r1cs.c_rows))
@@ -89,8 +94,13 @@ class DeviceR1CS:
         self._t_pack_A = self._t_pack_B = self._t_pack_C = None
 
     def _pack(self, rows: list[dict]):
-        """Bucket rows by LC width, pad each bucket to whole blocks."""
+        """Bucket rows by LC width, pad each bucket to whole blocks.
+
+        Returns (arrays, ms): `arrays` is a tuple of per-bucket dicts of
+        device arrays (a jit-able pytree, passed as kernel arguments) and
+        `ms` the matching tuple of real row counts (static metadata)."""
         buckets = []
+        ms = []
         order = sorted(range(len(rows)), key=lambda i: len(rows[i]))
         pos = 0
         for kmax, block in _BUCKETS:
@@ -117,11 +127,11 @@ class DeviceR1CS:
                     rows=jnp.asarray(np.asarray(sel, dtype=np.int32)),
                     idx=jnp.asarray(idx.reshape(nb, blk, K)),
                     coeff=jnp.asarray(coeff_limbs.reshape(nb, blk, K, 16)),
-                    m=m,
                 )
             )
+            ms.append(m)
         assert pos == len(rows), "row wider than the largest bucket"
-        return tuple(buckets)
+        return tuple(buckets), tuple(ms)
 
     def _pack_transpose(self, name: str):
         """Column-major ELL pack of one matrix (built lazily, cached).
@@ -169,35 +179,40 @@ class DeviceR1CS:
         setattr(self, attr, out)
         return out
 
-    @partial(jax.jit, static_argnums=(0, 2))
     def matvec_t(self, q_mont, name: str):
         """q: (n_constraints, 16) Montgomery -> M^T q: (n_wires, 16)."""
-        f = self.f
         tp = self._pack_transpose(name)
+        return self._matvec_t_jit(
+            q_mont, tp["packed"][0], tp["table"],
+            tp["packed"][1], tp["n_segs"],
+        )
+
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def _matvec_t_jit(self, q_mont, bks, table, ms: tuple, n_segs: int):
+        f = self.f
         # Reuse the row kernel over segments: segment value = sum coeff * q[row].
-        partials = jnp.zeros((tp["n_segs"] + 1, 16), dtype=jnp.uint32)
-        for bk in tp["packed"]:
+        partials = jnp.zeros((n_segs + 1, 16), dtype=jnp.uint32)
+        for bk, m in zip(bks, ms):
             def one_block(args):
                 idx, coeff = args
                 gathered = q_mont[idx, :]
                 return f.mul_acc(coeff, gathered)
 
             res = lax.map(one_block, (bk["idx"], bk["coeff"]))
-            res = res.reshape(-1, 16)[: bk["m"], :]
+            res = res.reshape(-1, 16)[:m, :]
             partials = partials.at[bk["rows"], :].set(res)
-        gathered = partials[tp["table"], :]  # (n_wires, max_segs, 16)
+        gathered = partials[table, :]  # (n_wires, max_segs, 16)
         out = gathered[:, 0, :]
         for s in range(1, gathered.shape[1]):
             out = f.add(out, gathered[:, s, :])
         return out
 
-    @partial(jax.jit, static_argnums=(0, 2))
-    def matvec(self, z_mont, name: str):
+    def _matvec_impl(self, z_mont, bks, ms: tuple):
         """z: (..., n_wires, 16) Montgomery -> (..., n_constraints, 16)."""
         f = self.f
         batch = z_mont.shape[:-2]
         out = jnp.zeros(batch + (self.n_constraints, 16), dtype=jnp.uint32)
-        for bk in self.mats[name]:
+        for bk, m in zip(bks, ms):
             def one_block(args):
                 idx, coeff = args  # (blk, K), (blk, K, 16)
                 gathered = z_mont[..., idx, :]  # (..., blk, K, 16)
@@ -205,41 +220,61 @@ class DeviceR1CS:
 
             res = lax.map(one_block, (bk["idx"], bk["coeff"]))  # (nb, ..., blk, 16)
             res = jnp.moveaxis(res, 0, -3)  # (..., nb, blk, 16)
-            res = res.reshape(batch + (-1, 16))[..., : bk["m"], :]
+            res = res.reshape(batch + (-1, 16))[..., :m, :]
             out = out.at[..., bk["rows"], :].set(res)
         return out
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _matvec_jit(self, z_mont, bks, ms: tuple):
+        return self._matvec_impl(z_mont, bks, ms)
+
+    def matvec(self, z_mont, name: str):
+        bks, ms = self.mats[name]
+        return self._matvec_jit(z_mont, bks, ms)
+
     def residual(self, z_mont, u_mont, e_mont):
         """Az*Bz - u*Cz - E (zero iff the relaxed instance is satisfied)."""
+        mats = tuple(self.mats[n][0] for n in "ABC")
+        ms = tuple(self.mats[n][1] for n in "ABC")
+        return self._residual_jit(z_mont, u_mont, e_mont, mats, ms)
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _residual_jit(self, z_mont, u_mont, e_mont, mats, ms):
         f = self.f
-        az = self.matvec(z_mont, "A")
-        bz = self.matvec(z_mont, "B")
+        az = self._matvec_impl(z_mont, mats[0], ms[0])
+        bz = self._matvec_impl(z_mont, mats[1], ms[1])
 
         lhs = _map_blocks(f.mul, (az, bz))
-        cz = self.matvec(z_mont, "C")
+        cz = self._matvec_impl(z_mont, mats[2], ms[2])
         return _map_blocks(
             lambda l, c, e: f.sub(l, f.add(f.mul(u_mont[..., None, :], c), e)),
             (lhs, cz, e_mont),
         )
 
-    @partial(jax.jit, static_argnums=0)
     def cross_term(self, z1, u1, z2, u2):
         """Nova cross term:
         T = Az1*Bz2 + Az2*Bz1 - u1*Cz2 - u2*Cz1, shapes (..., n_constraints, 16).
-
-        The four A/B products are combined first so XLA can retire those
-        matvec outputs before the C matvecs are live; all elementwise limb
-        work is constraint-axis blocked (see _map_blocks).
         """
+        mats = tuple(self.mats[n][0] for n in "ABC")
+        ms = tuple(self.mats[n][1] for n in "ABC")
+        return self._cross_term_jit(z1, u1, z2, u2, mats, ms)
+
+    @partial(jax.jit, static_argnums=(0, 6))
+    def _cross_term_jit(self, z1, u1, z2, u2, mats, ms):
+        """The four A/B products are combined first so XLA can retire those
+        matvec outputs before the C matvecs are live; all elementwise limb
+        work is constraint-axis blocked (see _map_blocks)."""
         f = self.f
-        az1, bz1 = self.matvec(z1, "A"), self.matvec(z1, "B")
-        az2, bz2 = self.matvec(z2, "A"), self.matvec(z2, "B")
+        az1 = self._matvec_impl(z1, mats[0], ms[0])
+        bz1 = self._matvec_impl(z1, mats[1], ms[1])
+        az2 = self._matvec_impl(z2, mats[0], ms[0])
+        bz2 = self._matvec_impl(z2, mats[1], ms[1])
         t = _map_blocks(
             lambda a1, b2, a2, b1: f.add(f.mul(a1, b2), f.mul(a2, b1)),
             (az1, bz2, az2, bz1),
         )
-        cz1, cz2 = self.matvec(z1, "C"), self.matvec(z2, "C")
+        cz1 = self._matvec_impl(z1, mats[2], ms[2])
+        cz2 = self._matvec_impl(z2, mats[2], ms[2])
         return _map_blocks(
             lambda tt, c1, c2: f.sub(
                 f.sub(tt, f.mul(u1[..., None, :], c2)), f.mul(u2[..., None, :], c1)

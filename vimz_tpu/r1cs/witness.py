@@ -335,7 +335,7 @@ def _device_stages(r1cs) -> list[dict]:
     return stages
 
 
-def execute_tape(r1cs, lo: int = 0, hi: int | None = None) -> jnp.ndarray:
+def execute_tape(r1cs, lo: int = 0, hi: int | None = None, sharding=None) -> jnp.ndarray:
     """Compute the witness matrix for fold steps [lo, hi) on device.
 
     Returns (hi-lo, n_wires + 1, 16) uint32 Montgomery limbs: wire 0 = 1,
@@ -355,6 +355,10 @@ def execute_tape(r1cs, lo: int = 0, hi: int | None = None) -> jnp.ndarray:
     zero16 = jnp.zeros(16, dtype=jnp.uint32)
 
     W = jnp.zeros((hi - lo, n + 1, 16), dtype=jnp.uint32)
+    if sharding is not None:
+        # Step-axis sharding over a device mesh: every stage kernel below is
+        # batched over steps, so XLA partitions them SPMD with no collectives.
+        W = jax.device_put(W, sharding)
     W = W.at[:, 0, :].set(one_mont)
     in_mont = F.to_mont(jnp.asarray(F.to_limbs(r1cs.inputs[lo:hi])))
     W = W.at[:, 1 : 1 + r1cs.n_inputs, :].set(in_mont)

@@ -31,6 +31,16 @@ from vimz_tpu.snark.transcript import Transcript
 IPA_SEED = b"vimz-tpu-ipa-q"
 
 
+def _msm(curve: BatchedCurve, scalars_std, points):
+    """MSM honoring the VIMZ_MSM_IMPL switch (ladder = compile-light path
+    for CPU tests/dry runs; identical group results either way)."""
+    import os
+
+    if os.environ.get("VIMZ_MSM_IMPL") == "ladder":
+        return curve.msm_ladder(scalars_std, points)
+    return curve.msm(scalars_std, points)
+
+
 def _mont(v: int):
     return jnp.asarray(F.to_limbs_mont(np.array(v % P, dtype=object)))
 
@@ -95,11 +105,11 @@ def ipa_prove(
         cl = _inner(a_lo, b_hi)
         cr = _inner(a_hi, b_lo)
         L = curve.add(
-            curve.msm(F.from_mont(a_lo), G_hi),
+            _msm(curve, F.from_mont(a_lo), G_hi),
             curve.scalar_mul(_std(cl)[None], qw),
         )
         R = curve.add(
-            curve.msm(F.from_mont(a_hi), G_lo),
+            _msm(curve, F.from_mont(a_hi), G_lo),
             curve.scalar_mul(_std(cr)[None], qw),
         )
         L_aff = curve.to_affine_ints({k: v.reshape(1, 16) for k, v in L.items()})[0]
@@ -160,7 +170,7 @@ def ipa_verify(
         lo = F.mul(s, _mont(xi))
         hi = F.mul(s, _mont(x))
         s = jnp.concatenate([lo, hi])
-    G_final = curve.msm(F.from_mont(s), bases)
+    G_final = _msm(curve, F.from_mont(s), bases)
 
     # b folds with the same (xinv lo, x hi) pattern as G.
     b_final = _inner(s, b_mont)

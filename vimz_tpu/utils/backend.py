@@ -30,7 +30,11 @@ def compile_cache_dir(platform: str = "tpu") -> str:
     except OSError:
         flags = ""
     tag = hashlib.sha256(flags.encode()).hexdigest()[:12]
-    return os.path.expanduser(f"~/.cache/jax-vimz-cpu-{tag}")
+    # v2: entries written before jax_persistent_cache_enable_xla_caches was
+    # forced to 'none' embed XLA:CPU AOT results whose target features
+    # (+prefer-no-scatter etc.) vary per process configuration — loading
+    # them cross-process warns of SIGILL risk and slows deserialization.
+    return os.path.expanduser(f"~/.cache/jax-vimz-cpu2-{tag}")
 
 
 def raise_stack_limit(mb: int = 256) -> None:
