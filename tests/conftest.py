@@ -15,12 +15,10 @@ os.environ.setdefault("VIMZ_DEBUG_CHECK", "1")
 # compiles once at (8, ...) instead of per-circuit 64-lane shapes (XLA CPU
 # compiles of the EC graphs are minutes each on a 2-vCPU box).
 os.environ.setdefault("VIMZ_PAIR_CHUNK", "8")
-# Ladder MSMs: XLA CPU takes 10 min to compile the masked tree-sum kernel
-# and 30+ min for the sort-based Pippenger kernel; the double-and-add ladder
-# computes identical group sums (bit-identical proofs) from one small
-# kernel. The Pippenger path is differential-tested at kernel level in
-# test_curves (slow marker) and exercised on real TPU by scripts/bisect_fold.
-os.environ.setdefault("VIMZ_MSM_IMPL", "ladder")
+# Small MSM batches: the ladder/Pippenger execution work scales with the
+# (padded) batch, and XLA CPU executes the limb kernels ~100x slower than
+# the TPU path; 8-instance chunks keep each MSM call seconds, not minutes.
+os.environ.setdefault("VIMZ_MSM_CHUNK", "8")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

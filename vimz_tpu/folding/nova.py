@@ -156,11 +156,17 @@ class _FoldCore:
         import os as _os
 
         self.msm_impl = _os.environ.get("VIMZ_MSM_IMPL", "pippenger")
+        self.MSM_CHUNK = int(_os.environ.get("VIMZ_MSM_CHUNK", self.MSM_CHUNK))
+        # Pallas-fused MSM engines (TPU only), one per base-set length.
+        self._pl_msm: dict[int, object] = {}
+        self._pl_ok = (
+            jax.default_backend() != "cpu"
+            and self.msm_impl == "pippenger"
+            and _os.environ.get("VIMZ_PALLAS_MSM", "1") not in ("", "0")
+        )
         # Adaptive pair batch: one fold pair's live set through cross_term +
         # fold kernels is ~ (4*n_wires + 10*n_constraints) limb vectors of
         # 64 B each (z1/z2/new_z gathers + matvec outputs + T + e1/e2/new_e).
-        import os as _os
-
         env = _os.environ.get("VIMZ_PAIR_CHUNK")
         if env:
             # Test/CI override: tiny fixed batches keep every EC/fold kernel
@@ -197,6 +203,18 @@ class _FoldCore:
         else:
             self._bit_bases = None
             self._full_bases = None
+
+    def _pallas_msm_for(self, n: int):
+        """PallasMsm over the first n Pedersen bases (cached), or None."""
+        if not self._pl_ok or n is None or n < 2048:
+            return None
+        if n not in self._pl_msm:
+            from vimz_tpu.curves.pallas_msm import PallasMsm
+
+            self._pl_msm[n] = PallasMsm(
+                self.curve.ref, self.curve.f, _index_points(self.bases, slice(0, n))
+            )
+        return self._pl_msm[n]
 
     # -- chunk helpers ---------------------------------------------------
 
@@ -237,27 +255,51 @@ class _FoldCore:
         chunk = chunk or self.MSM_CHUNK
         m, n = scalars_std.shape[0], scalars_std.shape[1]
         bases = _index_points(self.bases, slice(0, n))
-        return self._msm_chunked(scalars_std, bases, chunk)
+        return self._msm_chunked(scalars_std, bases, chunk, prefix_n=n)
 
-    def _msm_chunked(self, scalars_std, bases, chunk: int) -> dict:
+    def _msm_chunked(self, scalars_std, bases, chunk: int, prefix_n=None) -> dict:
         """msm_many in exact `chunk`-instance batches (tail zero-padded) so
-        one (chunk, N) kernel shape serves every call site per base set."""
+        one (chunk, N) kernel shape serves every call site per base set.
+
+        `prefix_n`: set when `bases` is the canonical prefix of the Pedersen
+        base set (enables the Pallas engine, which is cached per prefix)."""
         m = scalars_std.shape[0]
         pad = (-m) % chunk
         if pad:
             scalars_std = jnp.concatenate(
                 [scalars_std, jnp.zeros((pad,) + scalars_std.shape[1:], dtype=scalars_std.dtype)]
             )
-        msm = (
-            self.curve.msm_many_ladder
-            if self.msm_impl == "ladder"
-            else self.curve.msm_many
-        )
+        pl_engine = self._pallas_msm_for(prefix_n) if prefix_n else None
+        if pl_engine is not None:
+            msm = lambda s, _b: pl_engine.msm_many(s)
+        elif self.msm_impl == "ladder":
+            msm = self.curve.msm_many_ladder
+        else:
+            msm = self.curve.msm_many
         parts = [
             msm(self._shard(scalars_std[i : i + chunk]), bases)
             for i in range(0, m + pad, chunk)
         ]
         return {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
+
+    def _pallas_leaf_engines(self):
+        """(bit_engine, full_engine) PallasMsm pair for the leaf split."""
+        if not self._pl_ok or self._bit_bases is None or len(self._bit_idx) < 2048:
+            return None, None
+        if "leaf" not in self._pl_msm:
+            from vimz_tpu.curves.pallas_msm import PallasMsm
+
+            bit_e = PallasMsm(
+                self.curve.ref, self.curve.f,
+                _index_points(self.bases, self._bit_idx),
+            )
+            full_e = (
+                PallasMsm(self.curve.ref, self.curve.f, self._full_bases)
+                if len(self._full_idx) >= 1024
+                else None
+            )
+            self._pl_msm["leaf"] = (bit_e, full_e)
+        return self._pl_msm["leaf"]
 
     def commit_witnesses(self, w_std) -> dict:
         """Leaf witness commitments (m, n_wit) with the bit/full class split.
@@ -266,30 +308,60 @@ class _FoldCore:
         masked tree-sum and Pippenger kernels take pathologically long to
         compile on XLA CPU (10 / 30+ minutes), while the ladder computes the
         identical group sums from one compile-light kernel."""
-        if self._bit_bases is None or self.msm_impl == "ladder":
+        bit_e, full_e = self._pallas_leaf_engines()
+        if self._bit_bases is None or self.msm_impl == "ladder" or bit_e is None:
+            # No Pallas: one dedup-Pippenger MSM over all wires. (The XLA
+            # masked-tree split costs ~10 min of XLA CPU compile and the
+            # Pallas engines don't exist off-TPU.)
             return self.commit_many(w_std)
         m = w_std.shape[0]
-        nb = self._bit_bases["z"].shape[0]
-        bit_scalars = w_std[:, self._bit_idx, 0]  # value is the low limb (0/1)
-        pad = nb - len(self._bit_idx)
-        if pad:
-            bit_scalars = jnp.concatenate(
-                [bit_scalars, jnp.zeros((m, pad), dtype=jnp.uint32)], axis=1
-            )
         chunk = self.MSM_CHUNK
-        parts = []
-        for i in range(0, m, chunk):
-            sl = bit_scalars[i : i + chunk]
-            if sl.shape[0] < chunk:
-                sl = jnp.concatenate(
-                    [sl, jnp.zeros((chunk - sl.shape[0], nb), dtype=jnp.uint32)]
+        if bit_e is not None:
+            bit_scalars = w_std[:, self._bit_idx, 0]  # value = low limb (0/1)
+            parts = []
+            for i in range(0, m, chunk):
+                sl = bit_scalars[i : i + chunk]
+                if sl.shape[0] < chunk:
+                    sl = jnp.concatenate(
+                        [sl, jnp.zeros((chunk - sl.shape[0], sl.shape[1]), dtype=jnp.uint32)]
+                    )
+                parts.append(bit_e.masked_sum(self._shard(sl)))
+            comm_bit = {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
+        else:
+            nb = self._bit_bases["z"].shape[0]
+            bit_scalars = w_std[:, self._bit_idx, 0]
+            pad = nb - len(self._bit_idx)
+            if pad:
+                bit_scalars = jnp.concatenate(
+                    [bit_scalars, jnp.zeros((m, pad), dtype=jnp.uint32)], axis=1
                 )
-            parts.append(self.curve.sum_masked(self._shard(sl), self._bit_bases))
-        comm_bit = {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
+            parts = []
+            for i in range(0, m, chunk):
+                sl = bit_scalars[i : i + chunk]
+                if sl.shape[0] < chunk:
+                    sl = jnp.concatenate(
+                        [sl, jnp.zeros((chunk - sl.shape[0], nb), dtype=jnp.uint32)]
+                    )
+                parts.append(self.curve.sum_masked(self._shard(sl), self._bit_bases))
+            comm_bit = {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
         if len(self._full_idx):
-            comm_full = self._msm_chunked(
-                w_std[:, self._full_idx], self._full_bases, chunk
-            )
+            if full_e is not None:
+                fparts = []
+                fsc = w_std[:, self._full_idx]
+                for i in range(0, m, chunk):
+                    sl = fsc[i : i + chunk]
+                    if sl.shape[0] < chunk:
+                        sl = jnp.concatenate(
+                            [sl, jnp.zeros((chunk - sl.shape[0],) + sl.shape[1:], dtype=jnp.uint32)]
+                        )
+                    fparts.append(full_e.msm_many(self._shard(sl)))
+                comm_full = {
+                    k: jnp.concatenate([p[k] for p in fparts])[:m] for k in fparts[0]
+                }
+            else:
+                comm_full = self._msm_chunked(
+                    w_std[:, self._full_idx], self._full_bases, chunk
+                )
             return self.curve.add_points(comm_bit, comm_full)
         return comm_bit
 
@@ -686,7 +758,8 @@ class FoldingProver(_FoldCore):
                     # discarded host-side after to_affine. MSM batch = B so
                     # the constraint-base MSM has exactly one kernel shape.
                     comm_t = self._msm_chunked(
-                        self._from_mont_rows(T), bases_c, min(self.MSM_CHUNK, B)
+                        self._from_mont_rows(T), bases_c, min(self.MSM_CHUNK, B),
+                        prefix_n=nc,
                     )
                     comm_t_aff = self.to_affine(comm_t)[:k]
                     comm_t_affs.extend(comm_t_aff)
