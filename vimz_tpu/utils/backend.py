@@ -60,7 +60,7 @@ def raise_stack_limit(mb: int = 256) -> None:
         pass
 
 
-def enable_compile_cache(platform: str = "tpu") -> None:
+def enable_compile_cache(platform: str = "tpu", read_only: bool = False) -> None:
     """Enable JAX's persistent compilation cache.
 
     On CPU the embedded XLA-side caches must be excluded
@@ -68,15 +68,25 @@ def enable_compile_cache(platform: str = "tpu") -> None:
     SIGSEGVs inside put_executable_and_time for some kernels in this
     jaxlib (observed in the test suite). The executable cache itself
     round-trips fine with them disabled.
+
+    `read_only`: reuse cached executables but never write — for the
+    multi-chip dry run, whose budget can't absorb a crashed/hung serialize
+    and which must not fork (the crash-isolated writer forks a
+    multithreaded JAX process).
     """
     import jax
 
     raise_stack_limit()
     jax.config.update("jax_compilation_cache_dir", compile_cache_dir(platform))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if read_only:
+        # practically disables writes; reads are unaffected
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    else:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if platform == "cpu":
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
-        _fork_isolate_cache_writes()
+        if not read_only:
+            _fork_isolate_cache_writes()
 
 
 _CACHE_WRITES_ISOLATED = False
