@@ -19,16 +19,23 @@ DEVICE ?= default
 DEMO_FLAG := $(if $(DEMO),--demo,)
 COMPRESS_FLAG := $(if $(COMPRESS),--compress,)
 
-.PHONY: all test test-all analyze-circuits comparison benchmark check-env \
-        input-data source-images verifier-contracts $(TRANSFORMATIONS)
+.PHONY: all test test-all test-inprocess analyze-circuits comparison benchmark \
+        check-env input-data source-images verifier-contracts solidity-check \
+        $(TRANSFORMATIONS)
 
 all: test
 
+# Default gate: per-file subprocesses — the only mode that reliably survives
+# this jaxlib's fresh-compile segfaults (see scripts/run_tests.py).
 test:
-	$(PY) -m pytest tests/ -x -q -m "not slow"
+	$(PY) scripts/run_tests.py -m "not slow"
 
 test-all:
-	$(PY) -m pytest tests/ -x -q
+	$(PY) scripts/run_tests.py
+
+# One-process run (historical; known to segfault in jaxlib on cold caches)
+test-inprocess:
+	$(PY) -m pytest tests/ -x -q -m "not slow"
 
 analyze-circuits:
 	$(PY) -m vimz_tpu.tools.analyze_circuits

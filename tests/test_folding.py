@@ -65,6 +65,28 @@ def test_multichunk_streaming_matches_verifier():
     assert FoldingVerifier(d).verify(proof, [0, 0], zn)
 
 
+@pytest.mark.slow
+def test_adaptive_chunking_64_steps(monkeypatch):
+    """64 fold steps through the ADAPTIVE pair-chunk path (VIMZ_PAIR_CHUNK
+    unset — the configuration every non-test prove runs, which the rest of
+    the suite pins to 8). PAIR_MEM_BUDGET is shrunk so the adaptive formula
+    lands on a nontrivial chunk (16) even for the tiny test circuit, giving
+    the same multi-batch level structure the TPU HD prove uses."""
+    monkeypatch.delenv("VIMZ_PAIR_CHUNK", raising=False)
+    monkeypatch.setenv("VIMZ_MSM_IMPL", "ladder")
+    img = tiny_image(h=64, w=20, seed=17)
+    inp = make_input(img, convert_to_grayscale(img))
+    r1cs = synthesize(Transformation.GRAYSCALE, inp)
+    d = DeviceR1CS(r1cs)
+    per_pair = (4 * d.n_wires + 10 * d.n_constraints) * 64
+    monkeypatch.setattr(FoldingProver, "PAIR_MEM_BUDGET", per_pair * 16)
+    prover = FoldingProver(d)
+    assert prover.PAIR_CHUNK == 16, "adaptive sizing must engage"
+    proof = prover.prove(r1cs)
+    zn = [int(v) for v in r1cs.witness[-1, 1 + 2 : 1 + 4]]
+    assert FoldingVerifier(d).verify(proof, [0, 0], zn)
+
+
 def test_verify_rejects_tampered_chain(grayscale_setup):
     import copy
 

@@ -570,22 +570,50 @@ _register(Transformation.REDACT, 2)((_redact_build, _redact_chain))
 
 _STRUCTURES: dict[tuple, Builder] = {}
 
+_CIRCUIT_DIGEST: str | None = None
+
+
+def _circuit_source_digest() -> str:
+    """Digest of the circuit-DEFINING sources only (circuits/ + the r1cs
+    builder/gadget layer). Keying the structure cache on this digest means
+    any edit that could change constraints or the witness tape invalidates
+    cached structures automatically, while refactors elsewhere (folding,
+    curves, pipeline) keep the cache warm."""
+    global _CIRCUIT_DIGEST
+    if _CIRCUIT_DIGEST is None:
+        import glob
+        import hashlib
+        import os
+
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        srcs = sorted(glob.glob(os.path.join(pkg, "circuits", "*.py")))
+        srcs += [
+            os.path.join(pkg, "r1cs", "builder.py"),
+            os.path.join(pkg, "r1cs", "gadgets.py"),
+        ]
+        h = hashlib.sha256()
+        for s in srcs:
+            with open(s, "rb") as fh:
+                h.update(fh.read())
+        _CIRCUIT_DIGEST = h.hexdigest()[:16]
+    return _CIRCUIT_DIGEST
+
 
 def build_structure(transformation: Transformation, n_ext: int, ctx: dict) -> Builder:
     """Build (or load from cache) the constraint structure + witness tape.
 
-    The disk cache is keyed by STRUCTURE_VERSION (a manually-bumped semantic
-    version), NOT a source fingerprint: circuit layouts change rarely, and
-    fingerprint keying meant every refactor of builder/gadget code re-paid
-    the full Python structure build (~minutes per circuit at HD widths).
-    Bump STRUCTURE_VERSION whenever a circuit's constraints/tape change; the
-    VIMZ_DEBUG_CHECK satisfaction canary in tests catches a forgotten bump.
+    The disk cache is keyed by STRUCTURE_VERSION *and* a digest of the
+    circuit-defining sources (circuits/ + r1cs builder/gadgets): an edit to
+    constraint or tape construction invalidates cached structures without a
+    manual version bump (a stale structure would silently prove the wrong
+    circuit), while refactors outside those modules keep the cache warm.
     """
     from vimz_tpu.utils.cache import disk_load, disk_save
 
     spec = CIRCUITS[transformation]
     key = (
         STRUCTURE_VERSION,
+        _circuit_source_digest(),
         transformation.value,
         spec.state_len,
         n_ext,

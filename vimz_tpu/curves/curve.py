@@ -642,6 +642,19 @@ class BatchedCurve:
         return {k: jnp.asarray(v[:n]) for k, v in arrs.items()}
 
 
+    def blinding_base(self) -> dict:
+        """The dedicated hiding generator H (one point, batch shape (1,)).
+
+        Derived by hash-to-point under a seed disjoint from the Pedersen
+        base seed, so its discrete log w.r.t. every G_i (and Q) is unknown;
+        a commitment C = <w, G> + r*H with uniform r is perfectly hiding.
+        """
+        if getattr(self, "_h_base", None) is None:
+            pt = self.ref.hash_to_point(b"vimz-tpu-pedersen-H", 0)
+            self._h_base = self.from_affine_ints([pt])
+        return self._h_base
+
+
 _BN254_BATCHED = None
 _GRUMPKIN_BATCHED = None
 

@@ -38,7 +38,13 @@ class PallasMsm:
 
     def __init__(self, curve_ref, field, bases_nm):
         """bases_nm: (N, 16) Montgomery limb (normal layout) base points dict."""
+        from vimz_tpu.curves.curve import BatchedCurve
+
         self.pc = PallasCurve(field, curve_ref.b)
+        # narrow-lane XLA curve for the bucket tails, over the SAME curve
+        # this engine was instantiated for (grumpkin engines must not
+        # silently compute with bn254 constants).
+        self.bc = BatchedCurve(curve_ref, field)
         self.N = bases_nm["x"].shape[0]
         # (16, N) limb-major bases, resident on device
         self.bases_lm = {
@@ -50,7 +56,6 @@ class PallasMsm:
     def _add3(self, P, Q):
         """Elementwise point add on (B, 16, L) stacks."""
         B, _, L = P["x"].shape
-        flat = lambda d: {k: v.reshape(16 * B, L).reshape(16, -1) for k, v in d.items()}
         # NOTE: (B,16,L) -> (16, B*L) requires axis swap, not reshape:
         swap = lambda d: {
             k: jnp.swapaxes(v, 0, 1).reshape(16, B * L) for k, v in d.items()
@@ -222,9 +227,7 @@ class PallasMsm:
         }  # (B, 16, W, 2^c)
 
         # weighted bucket sum per window (XLA path — narrow lanes):
-        from vimz_tpu.curves import bn254_batched
-
-        bc = bn254_batched()
+        bc = self.bc
         bk_nm = {
             k: jnp.transpose(buckets[k], (0, 2, 3, 1)) for k in buckets
         }  # (B, W, 2^c, 16)

@@ -18,11 +18,14 @@ multiples, curve 3b) are packed into one (R, 1) uint32 tensor passed as a
 kernel input — Pallas kernels may not close over array constants.
 
 All math mirrors fields/limbs.py exactly (same radix-2^16 Montgomery
-design), differentially tested against it in tests/test_pallas_field.py.
+design), differentially tested against it in tests/test_pallas_field.py
+(which runs these kernels in Pallas interpret mode on CPU via
+VIMZ_PALLAS_INTERPRET=1, and natively when a TPU is present).
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -36,6 +39,17 @@ from vimz_tpu.fields.limbs import LimbField, int_to_limbs
 NLIMB = 16
 MASK = 0xFFFF  # Python int: jnp scalars become captured consts in kernels
 LANES = 1024  # lane block per grid step: 16x1024 u32 = 64 KB per operand
+
+def _interpret() -> bool:
+    """Pallas interpret mode: run kernel bodies as traced JAX ops.
+
+    Auto-on for the CPU backend (native Pallas TPU lowering is impossible
+    there) — this is what lets the CPU test suite differentially test these
+    kernels. VIMZ_PALLAS_INTERPRET=1/0 forces it either way."""
+    env = os.environ.get("VIMZ_PALLAS_INTERPRET")
+    if env is not None and env != "":
+        return env != "0"
+    return jax.default_backend() == "cpu"
 
 # const tensor row offsets
 _ROW_P = 0  # p limbs (16)
@@ -163,6 +177,10 @@ class PallasField:
         cols = _mul_columns(a, b, 2 * NLIMB)
         return self._redc(cols, nsub=1)
 
+    def from_mont(self, a):
+        """Montgomery -> standard form: REDC of a alone (a * 1)."""
+        return self._redc(a, nsub=1)
+
 
 # ----------------------------------------------------------------------
 # EC kernels (RCB complete formulas, a = 0) on limb-major coordinates
@@ -275,6 +293,7 @@ class PallasCurve:
             in_specs=[cspec] + [spec] * len(ins),
             out_specs=[spec] * n_out,
             out_shape=[jax.ShapeDtypeStruct((16, Np), jnp.uint32)] * n_out,
+            interpret=_interpret(),
         )(self.consts, *ins)
         if pad:
             out = [o[:, :N] for o in out]

@@ -115,6 +115,10 @@ class FoldProof:
     # Uncompressed mode: the folded witness/error vectors in the clear.
     w_final: np.ndarray | None = None  # (n_wit,) object ints
     e_final: np.ndarray | None = None  # (n_constraints,) object ints
+    # Hiding mode: the folded Pedersen blinds for the final W/E commitments
+    # (commitments are C = <v, G> + r*H; None = proof made with hiding off).
+    r_w_final: int | None = None
+    r_e_final: int | None = None
     # Compressed mode: a Spartan-style proof of the final instance instead
     # (the reference's CompressedSNARK stage, nova_snark_backend/mod.rs:52-67).
     spartan: object = None
@@ -124,6 +128,8 @@ class FoldProof:
         n = pts * 64 + len(self.x_rows.ravel()) * 32
         if self.w_final is not None:
             n += (len(self.w_final) + len(self.e_final)) * 32
+        if self.r_w_final is not None:
+            n += 64
         if self.spartan is not None:
             n += self.spartan.size_bytes()
         return n
@@ -304,46 +310,27 @@ class _FoldCore:
     def commit_witnesses(self, w_std) -> dict:
         """Leaf witness commitments (m, n_wit) with the bit/full class split.
 
-        In ladder mode (tests / CPU dry run) the split is skipped: the
-        masked tree-sum and Pippenger kernels take pathologically long to
-        compile on XLA CPU (10 / 30+ minutes), while the ladder computes the
-        identical group sums from one compile-light kernel."""
+        The split exists only on the Pallas path (TPU): bit-valued wires go
+        through the masked tree-sum engine, full-width wires through the
+        Pippenger engine. Everywhere else (ladder mode, CPU, no Pallas) one
+        dedup-Pippenger/ladder MSM over all wires computes the identical
+        group sums from compile-cheap kernels (the XLA masked-tree split
+        costs ~10 min of XLA CPU compile)."""
         bit_e, full_e = self._pallas_leaf_engines()
-        if self._bit_bases is None or self.msm_impl == "ladder" or bit_e is None:
-            # No Pallas: one dedup-Pippenger MSM over all wires. (The XLA
-            # masked-tree split costs ~10 min of XLA CPU compile and the
-            # Pallas engines don't exist off-TPU.)
+        if self.msm_impl == "ladder" or bit_e is None:
             return self.commit_many(w_std)
         m = w_std.shape[0]
         chunk = self.MSM_CHUNK
-        if bit_e is not None:
-            bit_scalars = w_std[:, self._bit_idx, 0]  # value = low limb (0/1)
-            parts = []
-            for i in range(0, m, chunk):
-                sl = bit_scalars[i : i + chunk]
-                if sl.shape[0] < chunk:
-                    sl = jnp.concatenate(
-                        [sl, jnp.zeros((chunk - sl.shape[0], sl.shape[1]), dtype=jnp.uint32)]
-                    )
-                parts.append(bit_e.masked_sum(self._shard(sl)))
-            comm_bit = {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
-        else:
-            nb = self._bit_bases["z"].shape[0]
-            bit_scalars = w_std[:, self._bit_idx, 0]
-            pad = nb - len(self._bit_idx)
-            if pad:
-                bit_scalars = jnp.concatenate(
-                    [bit_scalars, jnp.zeros((m, pad), dtype=jnp.uint32)], axis=1
+        bit_scalars = w_std[:, self._bit_idx, 0]  # value = low limb (0/1)
+        parts = []
+        for i in range(0, m, chunk):
+            sl = bit_scalars[i : i + chunk]
+            if sl.shape[0] < chunk:
+                sl = jnp.concatenate(
+                    [sl, jnp.zeros((chunk - sl.shape[0], sl.shape[1]), dtype=jnp.uint32)]
                 )
-            parts = []
-            for i in range(0, m, chunk):
-                sl = bit_scalars[i : i + chunk]
-                if sl.shape[0] < chunk:
-                    sl = jnp.concatenate(
-                        [sl, jnp.zeros((chunk - sl.shape[0], nb), dtype=jnp.uint32)]
-                    )
-                parts.append(self.curve.sum_masked(self._shard(sl), self._bit_bases))
-            comm_bit = {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
+            parts.append(bit_e.masked_sum(self._shard(sl)))
+        comm_bit = {k: jnp.concatenate([p[k] for p in parts])[:m] for k in parts[0]}
         if len(self._full_idx):
             if full_e is not None:
                 fparts = []
@@ -399,6 +386,56 @@ class _FoldCore:
 
     def _zero_digest(self) -> int:
         return instance_digest(0, [0] * self.d.n_pub, None, None)
+
+    # -- hiding commitments (SECURITY.md §1) -----------------------------
+
+    @staticmethod
+    def hiding_enabled() -> bool:
+        import os as _os
+
+        return _os.environ.get("VIMZ_HIDING", "1") not in ("", "0")
+
+    def _rand_scalars(self, n: int, rng) -> list[int]:
+        """n uniform blinds in [0, P). rng=None -> cryptographic randomness
+        (secrets); a numpy Generator gives the deterministic path tests use
+        to compare two proves bit-for-bit."""
+        if rng is None:
+            import secrets
+
+            return [secrets.randbelow(P) for _ in range(n)]
+        out = []
+        for row in rng.integers(0, 1 << 62, size=(n, 5)):
+            acc = 0
+            for v in row:
+                acc = (acc << 62) | int(v)
+            out.append(acc % P)
+        return out
+
+    def _h_aff(self):
+        """The hiding generator H as a host affine point (cached)."""
+        if not hasattr(self, "_h_aff_pt"):
+            self._h_aff_pt = self.curve.ref.hash_to_point(b"vimz-tpu-pedersen-H", 0)
+        return self._h_aff_pt
+
+    def blind_comms(self, comms_dev: dict, rs: list[int]) -> dict:
+        """comms + r*H over an (m,) device point stack, issued in PAIR_CHUNK
+        batches so it reuses the fold_points kernel instance every other
+        commitment fold already compiled."""
+        B = self.PAIR_CHUNK
+        m = comms_dev["z"].shape[0]
+        H = self.curve.blinding_base()
+        Hb = {k: jnp.broadcast_to(v[0], (B, 16)) for k, v in H.items()}
+        rs = list(rs) + [0] * (m - len(rs))
+        parts = []
+        for i in range(0, m, B):
+            seg = {k: v[i : i + B] for k, v in comms_dev.items()}
+            k_n = seg["z"].shape[0]
+            if k_n < B:
+                seg = self._pad_points(seg, B)
+            r_std, _ = self._r_limbs(rs[i : i + B] + [0] * (B - k_n))
+            parts.append(self.fold_points(seg, Hb, r_std))
+        out = _concat_points(parts)
+        return {k: v[:m] for k, v in out.items()}
 
     def cross_terms_chunked(self, z1, u1, z2, u2):
         """d.cross_term over the pair axis in fixed-size chunks."""
@@ -499,16 +536,39 @@ class _FoldCore:
         out = _jnp.moveaxis(out, 0, 1).reshape(arrays[0].shape[0], n + pad, 16)
         return out[:, :n] if pad else out
 
-    @partial(jax.jit, static_argnums=0)
+    @property
+    def _ew(self):
+        """Fused Pallas elementwise engine (TPU; None on CPU). Measured
+        on-chip: the XLA limb path costs 10-15 s per fold kernel call at HD
+        widths (~100x roofline); the fused kernels are ~2 memory passes."""
+        if not hasattr(self, "_ew_engine"):
+            from vimz_tpu.fields.pallas_ew import maybe_ew
+
+            self._ew_engine = maybe_ew(self.f)
+        return self._ew_engine
+
     def _fold_z_kernel(self, z1, z2, r_mont):
+        if self._ew is not None:
+            return self._ew.fold_z(z1, z2, r_mont[:, None, :])
+        return self._fold_z_xla(z1, z2, r_mont)
+
+    @partial(jax.jit, static_argnums=0)
+    def _fold_z_xla(self, z1, z2, r_mont):
         f = self.f
         return self._map_rows(
             lambda a, b: f.add(a, f.mul(b, r_mont[:, None, :])),
             (z1, z2), self.ROW_BLOCK,
         )
 
-    @partial(jax.jit, static_argnums=0)
     def _fold_e_kernel(self, e1, T, e2, r_mont, r2_mont):
+        if self._ew is not None:
+            return self._ew.fold_e(
+                e1, T, e2, r_mont[:, None, :], r2_mont[:, None, :]
+            )
+        return self._fold_e_xla(e1, T, e2, r_mont, r2_mont)
+
+    @partial(jax.jit, static_argnums=0)
+    def _fold_e_xla(self, e1, T, e2, r_mont, r2_mont):
         f = self.f
         return self._map_rows(
             lambda a, t, b: f.add(
@@ -517,15 +577,25 @@ class _FoldCore:
             (e1, T, e2), self.ROW_BLOCK,
         )
 
-    @partial(jax.jit, static_argnums=0)
     def _fold_e0_kernel(self, T, r_mont):
         """Level-0 E fold: children have E = 0, so E' = r * T."""
+        if self._ew is not None:
+            return self._ew.mul_r(T, r_mont[:, None, :])
+        return self._fold_e0_xla(T, r_mont)
+
+    @partial(jax.jit, static_argnums=0)
+    def _fold_e0_xla(self, T, r_mont):
         return self._map_rows(
             lambda t: self.f.mul(t, r_mont[:, None, :]), (T,), self.ROW_BLOCK
         )
 
-    @partial(jax.jit, static_argnums=0)
     def _from_mont_rows(self, a):
+        if self._ew is not None:
+            return self._ew.from_mont(a)
+        return self._from_mont_rows_xla(a)
+
+    @partial(jax.jit, static_argnums=0)
+    def _from_mont_rows_xla(self, a):
         return self._map_rows(self.f.from_mont, (a,), self.ROW_BLOCK)
 
     def _chunked3(self, fn, arrays, rs_list):
@@ -572,9 +642,18 @@ class FoldingProver(_FoldCore):
         progress: bool = False,
         compress: bool = False,
         host_witness: bool = False,
+        rng=None,
     ) -> FoldProof:
         from vimz_tpu.r1cs.witness import execute_tape
         from vimz_tpu.utils.tracing import span
+
+        # Hiding commitments: every leaf witness commitment and cross-term
+        # commitment carries a fresh Pedersen blind r*H; blinds fold with
+        # the same linear combinations as the vectors (r' = r1 + rho*r2,
+        # re' = re1 + rho*rt + rho^2*re2), so only the final blinds appear
+        # in the proof. `rng` (tests only) makes the blinds deterministic.
+        self._hiding = self.hiding_enabled()
+        self._blind_rng = rng
 
         def leaf_witness(lo: int, hi: int):
             if host_witness:
@@ -623,12 +702,18 @@ class FoldingProver(_FoldCore):
                 z_c = leaf_witness(lo, b)
                 w_std_c = self._from_mont_rows(z_c[:, 1 + d.n_pub : d.n_wires])
                 comm_w = self.commit_witnesses(w_std_c)
+                if self._hiding:
+                    r_ws = self._rand_scalars(b - lo, rng)
+                    comm_w = self.blind_comms(comm_w, r_ws)
+                else:
+                    r_ws = [0] * (b - lo)
                 comm_w_aff = self.to_affine(comm_w)
                 if lo < a:
                     # Overlap rows were recomputed only to keep kernel
                     # shapes fixed; drop their witnesses and commitments.
                     z_c = z_c[a - lo :]
                     comm_w_aff = comm_w_aff[a - lo :]
+                    r_ws = r_ws[a - lo :]
                 leaf_comm_w_aff.extend(comm_w_aff)
             if progress:
                 print(f"  leaf chunk {a}:{b} committed", flush=True)
@@ -640,6 +725,8 @@ class FoldingProver(_FoldCore):
                 comm_e_aff=[None] * n,
                 u=[1] * n,
                 x=x_all[a:b].copy(),
+                r_w=r_ws,
+                r_e=[0] * n,
                 digests=instance_digests_batch(
                     [1] * n, x_all[a:b], comm_w_aff, [None] * n
                 ),
@@ -656,6 +743,8 @@ class FoldingProver(_FoldCore):
                 comm_e_aff=[r["comm_e_aff"] for r in roots],
                 u=[r["u"] for r in roots],
                 x=np.concatenate([r["x"] for r in roots]),
+                r_w=[r["r_w"] for r in roots],
+                r_e=[r["r_e"] for r in roots],
                 digests=[r["digest"] for r in roots],
             )
             final = self._fold_to_root(state, node_comm_t, chunk_levels, progress)
@@ -672,6 +761,8 @@ class FoldingProver(_FoldCore):
         ce_fin = final["comm_e_aff"]
         node_comm_t = node_comm_t_list
 
+        r_w_fin = final["r_w"] if self._hiding else None
+        r_e_fin = final["r_e"] if self._hiding else None
         if compress:
             from vimz_tpu.snark import SpartanProver
             from vimz_tpu.utils.tracing import span as _span
@@ -681,8 +772,11 @@ class FoldingProver(_FoldCore):
                 spartan = sp.prove(
                     u_host[0], list(x_rows[0]), cw_fin, ce_fin,
                     z_fin[: d.n_wires], e_fin,
+                    r_w=r_w_fin or 0, r_e=r_e_fin or 0, rng=rng,
                 )
             w_final = e_final = None
+            # blinds stay inside the blinded IPA openings, never published
+            r_w_fin = r_e_fin = None
         else:
             spartan = None
             w_final = f.from_limbs_mont(np.asarray(z_fin[1 + d.n_pub : d.n_wires]))
@@ -697,6 +791,8 @@ class FoldingProver(_FoldCore):
             u_final=u_host[0],
             w_final=w_final,
             e_final=e_final,
+            r_w_final=r_w_fin,
+            r_e_final=r_e_fin,
             spartan=spartan,
         )
 
@@ -727,7 +823,10 @@ class FoldingProver(_FoldCore):
         ce_aff = list(state["comm_e_aff"])
         u_host = list(state["u"])
         x_rows = state["x"]
+        r_w_host = list(state.get("r_w", [0] * len(u_host)))
+        r_e_host = list(state.get("r_e", [0] * len(u_host)))
         digests = list(state["digests"])
+        hiding = getattr(self, "_hiding", False)
 
         active = len(u_host)
         level = 0
@@ -735,6 +834,7 @@ class FoldingProver(_FoldCore):
             nfull, carry = active // 2, active % 2
             comm_t_affs: list = []
             rs_level: list[int] = []
+            rt_level: list[int] = []
             new_z, new_e, new_cw, new_ce = [], [], [], []
             with span("fold_level", level=level_offset + level, pairs=nfull):
                 for pa in range(0, nfull, B):
@@ -761,6 +861,12 @@ class FoldingProver(_FoldCore):
                         self._from_mont_rows(T), bases_c, min(self.MSM_CHUNK, B),
                         prefix_n=nc,
                     )
+                    if hiding:
+                        r_ts = self._rand_scalars(k, self._blind_rng)
+                        comm_t = self.blind_comms(comm_t, r_ts)
+                    else:
+                        r_ts = [0] * k
+                    rt_level.extend(r_ts)
                     comm_t_aff = self.to_affine(comm_t)[:k]
                     comm_t_affs.extend(comm_t_aff)
                     rs = fold_challenges_batch(
@@ -827,17 +933,33 @@ class FoldingProver(_FoldCore):
                 (u_host[2 * j] + rs_level[j] * u_host[2 * j + 1]) % P
                 for j in range(nfull)
             ]
+            rw_next = [
+                (r_w_host[2 * j] + rs_level[j] * r_w_host[2 * j + 1]) % P
+                for j in range(nfull)
+            ]
+            re_next = [
+                (
+                    r_e_host[2 * j]
+                    + rs_level[j] * rt_level[j]
+                    + rs_level[j] * rs_level[j] % P * r_e_host[2 * j + 1]
+                )
+                % P
+                for j in range(nfull)
+            ]
             x_next = (
                 x_rows[0 : 2 * nfull : 2]
                 + x_rows[1 : 2 * nfull : 2] * np.array(rs_level, dtype=object)[:, None]
             ) % P if nfull else np.zeros((0, d.n_pub), dtype=object)
             if carry:
                 u_next.append(u_host[2 * nfull])
+                rw_next.append(r_w_host[2 * nfull])
+                re_next.append(r_e_host[2 * nfull])
                 x_next = np.concatenate([x_next, x_rows[2 * nfull : 2 * nfull + 1]])
 
             active = nfull + carry
             digests = instance_digests_batch(u_next, x_next, cw_aff, ce_aff)
             u_host, x_rows = u_next, x_next
+            r_w_host, r_e_host = rw_next, re_next
             node_sink.setdefault(level_offset + level, []).extend(comm_t_affs)
             level += 1
             if progress:
@@ -858,6 +980,8 @@ class FoldingProver(_FoldCore):
             comm_e_aff=ce_aff[0],
             u=u_host[0],
             x=x_rows[0:1],
+            r_w=r_w_host[0],
+            r_e=r_e_host[0],
             digest=digests[0],
         )
 
@@ -996,12 +1120,23 @@ class FoldingVerifier(_FoldCore):
                 proof.spartan, u_host[0], list(x_rows[0]), cw_aff[0], ce_aff[0]
             )
 
-        # 3) final opening checks
+        # 3) final opening checks (blinded: C = <v, G> + r*H, SECURITY.md §1)
+        r_w = proof.r_w_final or 0
+        r_e = proof.r_e_final or 0
+        if not (0 <= r_w < P and 0 <= r_e < P):
+            return False
         w_std = jnp.asarray(f.to_limbs(proof.w_final))
         e_std = jnp.asarray(f.to_limbs(proof.e_final))
-        if self.to_affine(self.commit(w_std))[0] != cw_aff[0]:
+        ref = self.curve.ref
+        cw_exp = self.to_affine(self.commit(w_std))[0]
+        ce_exp = self.to_affine(self.commit(e_std))[0]
+        if r_w:
+            cw_exp = ref.add(cw_exp, ref.mul(r_w, self._h_aff()))
+        if r_e:
+            ce_exp = ref.add(ce_exp, ref.mul(r_e, self._h_aff()))
+        if cw_exp != cw_aff[0]:
             return False
-        if self.to_affine(self.commit(e_std))[0] != ce_aff[0]:
+        if ce_exp != ce_aff[0]:
             return False
 
         # 4) relaxed R1CS satisfaction of the final instance

@@ -262,19 +262,28 @@ class DeviceR1CS:
     @partial(jax.jit, static_argnums=(0, 6))
     def _cross_term_jit(self, z1, u1, z2, u2, mats, ms):
         """The four A/B products are combined first so XLA can retire those
-        matvec outputs before the C matvecs are live; all elementwise limb
-        work is constraint-axis blocked (see _map_blocks)."""
+        matvec outputs before the C matvecs are live. The 8-way elementwise
+        combine runs as ONE fused Pallas kernel on TPU (pallas_ew) — the
+        XLA limb version costs ~2 s per 16-pair batch at HD widths."""
+        from vimz_tpu.fields.pallas_ew import maybe_ew
+
         f = self.f
         az1 = self._matvec_impl(z1, mats[0], ms[0])
         bz1 = self._matvec_impl(z1, mats[1], ms[1])
         az2 = self._matvec_impl(z2, mats[0], ms[0])
         bz2 = self._matvec_impl(z2, mats[1], ms[1])
+        cz1 = self._matvec_impl(z1, mats[2], ms[2])
+        cz2 = self._matvec_impl(z2, mats[2], ms[2])
+        ew = maybe_ew(f)
+        if ew is not None:
+            return ew.cross_combine(
+                az1, bz2, az2, bz1, cz1, cz2,
+                u1[..., None, :], u2[..., None, :],
+            )
         t = _map_blocks(
             lambda a1, b2, a2, b1: f.add(f.mul(a1, b2), f.mul(a2, b1)),
             (az1, bz2, az2, bz1),
         )
-        cz1 = self._matvec_impl(z1, mats[2], ms[2])
-        cz2 = self._matvec_impl(z2, mats[2], ms[2])
         return _map_blocks(
             lambda tt, c1, c2: f.sub(
                 f.sub(tt, f.mul(u1[..., None, :], c2)), f.mul(u2[..., None, :], c1)

@@ -62,6 +62,10 @@ class IPAProof:
     L: list  # affine points, one per round
     R: list
     a_final: int
+    # Hiding mode: the accumulated Pedersen blind of the folded commitment
+    # (commitment C = <a, G> + r*H; each round's L/R carries its own fresh
+    # blind, folded as r' = l_j*x^2 + r + r_j*x^-2). 0 = unblinded proof.
+    r_final: int = 0
 
 
 def q_point(curve: BatchedCurve):
@@ -76,14 +80,35 @@ def _fold_points(curve, pts, x_std, xinv_std):
     return curve.add(curve.scalar_mul(xinv_std, lo), curve.scalar_mul(x_std, hi))
 
 
+def _round_blinds(n: int, rng) -> list[int]:
+    if rng is None:
+        import secrets
+
+        return [secrets.randbelow(P) for _ in range(n)]
+    out = []
+    for row in rng.integers(0, 1 << 62, size=(n, 5)):
+        acc = 0
+        for v in row:
+            acc = (acc << 62) | int(v)
+        out.append(acc % P)
+    return out
+
+
 def ipa_prove(
     curve: BatchedCurve,
     a_mont,
     b_mont,
     bases: dict,
     transcript: Transcript,
+    blind: int = 0,
+    rng=None,
 ) -> IPAProof:
-    """a_mont/b_mont: (N, 16) Montgomery, N a power of two; bases: N points."""
+    """a_mont/b_mont: (N, 16) Montgomery, N a power of two; bases: N points.
+
+    `blind` != 0: the commitment being opened is <a, G> + blind*H; every
+    round's L/R then carries a fresh blind (l_j, r_j), and the final
+    accumulated blind is revealed in the proof (hiding mode,
+    SECURITY.md §1)."""
     N = a_mont.shape[0]
     assert N & (N - 1) == 0
     qp = q_point(curve)
@@ -91,10 +116,14 @@ def ipa_prove(
     w = transcript.challenge(b"ipa-w")
     # Q' = w*Q; folded into every L/R so the value v is bound to the claim.
     qw = curve.scalar_mul(_std(w)[None], qp)
+    hiding = blind != 0
+    if hiding:
+        hp = curve.blinding_base()
 
     a, b = a_mont, b_mont
     G = bases
     Ls, Rs = [], []
+    r_acc = blind % P
     while a.shape[0] > 1:
         half = a.shape[0] // 2
         a_lo, a_hi = a[:half], a[half:]
@@ -112,6 +141,10 @@ def ipa_prove(
             _msm(curve, F.from_mont(a_hi), G_lo),
             curve.scalar_mul(_std(cr)[None], qw),
         )
+        if hiding:
+            lj, rj = _round_blinds(2, rng)
+            L = curve.add(L, curve.scalar_mul(_std(lj)[None], hp))
+            R = curve.add(R, curve.scalar_mul(_std(rj)[None], hp))
         L_aff = curve.to_affine_ints({k: v.reshape(1, 16) for k, v in L.items()})[0]
         R_aff = curve.to_affine_ints({k: v.reshape(1, 16) for k, v in R.items()})[0]
         Ls.append(L_aff)
@@ -124,9 +157,11 @@ def ipa_prove(
         a = F.add(F.mul(a_lo, xm), F.mul(a_hi, xim))
         b = F.add(F.mul(b_lo, xim), F.mul(b_hi, xm))
         G = _fold_points(curve, G, _std(x), _std(xinv))
+        if hiding:
+            r_acc = (lj * x % P * x + r_acc + rj * xinv % P * xinv) % P
 
     a_final = int(F.from_limbs_mont(np.asarray(a[0]))[()])
-    return IPAProof(L=Ls, R=Rs, a_final=a_final)
+    return IPAProof(L=Ls, R=Rs, a_final=a_final, r_final=r_acc if hiding else 0)
 
 
 def ipa_verify(
@@ -185,12 +220,19 @@ def ipa_verify(
         acc = curve.add(acc, curve.scalar_mul(_std(x * x % P)[None], {k: v_[0] for k, v_ in Lp.items()}))
         acc = curve.add(acc, curve.scalar_mul(_std(xi * xi % P)[None], {k: v_[0] for k, v_ in Rp.items()}))
 
-    # right side: a_final * G_final + a_final*b_final * Q'
+    # right side: a_final * G_final + a_final*b_final * Q' (+ r_final * H)
     rhs = curve.scalar_mul(_std(proof.a_final)[None], {k: v_.reshape(1, 16) for k, v_ in G_final.items()})
     rhs = {k: v_[0] for k, v_ in rhs.items()}
     rhs = curve.add(
         rhs, curve.scalar_mul(_std(proof.a_final * b_final % P)[None], qw)
     )
+    r_final = getattr(proof, "r_final", 0) or 0
+    if not (0 <= r_final < P):
+        return False
+    if r_final:
+        rhs = curve.add(
+            rhs, curve.scalar_mul(_std(r_final)[None], curve.blinding_base())
+        )
     lhs_aff = curve.to_affine_ints({k: v_.reshape(1, 16) for k, v_ in acc.items()})[0]
     rhs_aff = curve.to_affine_ints({k: v_.reshape(1, 16) for k, v_ in rhs.items()})[0]
     return lhs_aff == rhs_aff

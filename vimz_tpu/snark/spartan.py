@@ -72,6 +72,7 @@ class SpartanProof:
             + sum(len(r) for r in self.sc2_rounds)
             + 6
             + 2  # a_final of each IPA
+            + 2  # r_final of each IPA (hiding mode; 0 when unblinded)
         )
         n_points = 2 * (len(self.ipa_w.L) + len(self.ipa_e.L))
         return n_scalars * 32 + n_points * 64
@@ -102,8 +103,14 @@ class _SpartanCore:
 
 
 class SpartanProver(_SpartanCore):
-    def prove(self, u: int, x: list[int], comm_w_aff, comm_e_aff, z_mont, e_mont) -> SpartanProof:
-        """z_mont: (n_wires, 16) Montgomery Z = (u, x, W); e_mont: (nc, 16)."""
+    def prove(
+        self, u: int, x: list[int], comm_w_aff, comm_e_aff, z_mont, e_mont,
+        r_w: int = 0, r_e: int = 0, rng=None,
+    ) -> SpartanProof:
+        """z_mont: (n_wires, 16) Montgomery Z = (u, x, W); e_mont: (nc, 16).
+
+        r_w/r_e: Pedersen blinds of comm_w/comm_e (hiding mode) — passed
+        into the two IPA openings, which then blind their own rounds."""
         from vimz_tpu.utils.tracing import span
 
         d = self.d
@@ -157,6 +164,7 @@ class SpartanProver(_SpartanCore):
             ipa_w = ipa_prove(
                 self.curve, w_pad, b_w,
                 {k: v[: 1 << self.mwit] for k, v in self.bases.items()}, tr,
+                blind=r_w, rng=rng,
             )
         with span("spartan.ipa_e"):
             eq_rx_full = eq_table(rx)
@@ -164,6 +172,7 @@ class SpartanProver(_SpartanCore):
             ipa_e = ipa_prove(
                 self.curve, e_pad, eq_rx_full,
                 {k: v[: 1 << self.m] for k, v in self.bases.items()}, tr,
+                blind=r_e, rng=rng,
             )
 
         return SpartanProof(
