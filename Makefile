@@ -72,3 +72,8 @@ benchmark:
 
 verifier-contracts:
 	$(PY) -m vimz_tpu.tools.generate_verifier_contract -o contracts/generated
+
+# Structural Solidity gate (no solc in this image; see the script docstring
+# for what it does and does not catch). Also covers contracts/generated.
+solidity-check:
+	$(PY) scripts/solidity_check.py

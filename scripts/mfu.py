@@ -209,9 +209,10 @@ def kernel_sol(raw):
           f"{els*FIELD_MUL_OPS/dt/1e9:8.1f} Gop/s  "
           f"({els*16*4*2/dt/1e9:.0f} GB/s io)", flush=True)
 
-    # 5) XLA limb from_mont (the path being replaced) for comparison
-    dt, _ = timed(jax.jit(lambda x: FR_LIMBS.from_mont(x)), w)
-    print(f"  xla_from_mont       {dt:8.2f} s       (XLA limb path)", flush=True)
+    # 5) XLA limb from_mont (the path being replaced) for comparison —
+    # 16-row shape: the full 64-row jit OOMs HBM (the blow-up pallas_ew fixes)
+    dt, _ = timed(jax.jit(lambda x: FR_LIMBS.from_mont(x)), w[:16])
+    print(f"  xla_from_mont(16xN) {dt:8.2f} s       (XLA limb path)", flush=True)
 
 
 def main():

@@ -121,6 +121,51 @@ def test_pallas_msm_many_matches_reference(curve, engine):
         assert got[b] == want
 
 
+@pytest.fixture(scope="module")
+def table_engine(curve):
+    from vimz_tpu.curves.table_msm import PallasTableMsm
+
+    return PallasTableMsm(BN254_G1, FQ_LIMBS, curve.pedersen_bases(32))
+
+
+def test_table_msm_matches_reference(curve, table_engine):
+    """Subset-table MSM vs the exact host MSM on the same adversarial
+    scalar classes as the Pippenger engine (duplicates cost nothing here —
+    the shapes are input-independent by construction)."""
+    N = 32
+    bases_aff = _host_points(N)
+    rng = np.random.default_rng(4)
+    vals = np.zeros((2, N), dtype=object)
+    pool = np.array([0, 1, 2, 255, P_FR - 1], dtype=object)
+    vals[0] = pool[rng.integers(0, 5, N)]
+    chunks = rng.integers(0, 1 << 62, size=(N, 5))
+    acc = np.zeros(N, dtype=object)
+    for j in range(5):
+        acc = (acc << 62) + chunks[:, j].astype(object)
+    vals[1] = acc % P_FR
+    sc = jnp.asarray(FR_LIMBS.to_limbs(vals))
+    got = _affine(curve, table_engine.msm_many(sc))
+    for b in range(2):
+        want = BN254_G1.msm([int(v) for v in vals[b]], bases_aff)
+        assert got[b] == want
+
+
+def test_table_masked_sum_matches_reference(curve, table_engine):
+    N = 32
+    bases_aff = _host_points(N)
+    rng = np.random.default_rng(5)
+    masks = np.zeros((3, N), dtype=np.uint32)
+    masks[1] = 1
+    masks[2] = rng.integers(0, 2, N)
+    got = _affine(curve, table_engine.masked_sum(jnp.asarray(masks)))
+    for m, g in zip(masks, got):
+        want = None
+        for bit, P in zip(m, bases_aff):
+            if bit:
+                want = BN254_G1.add(want, P)
+        assert g == want
+
+
 def test_pallas_msm_matches_xla_msm(curve, engine):
     """PallasMsm == BatchedCurve.msm_many on identical inputs (the two
     engines must be interchangeable: proofs are bit-identical whichever

@@ -83,7 +83,7 @@ def _hasher():
 def _words_to_mont(words: np.ndarray):
     """(S, L) object ints -> (S, L, 16) Montgomery limbs."""
     f = FR_LIMBS
-    return f.to_mont(jnp.asarray(f.to_limbs(words)))
+    return f.to_mont_j(jnp.asarray(f.to_limbs(words)))
 
 
 def _ints(limbs) -> np.ndarray:

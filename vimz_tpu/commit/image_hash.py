@@ -210,7 +210,7 @@ def _prep(words: np.ndarray, nsteps=None):
     f = FR_LIMBS
     if nsteps is not None:
         words = words[: min(nsteps, words.shape[0])]
-    return f.to_mont(jnp.asarray(words))
+    return f.to_mont_j(jnp.asarray(words))
 
 
 def hash_image_arkworks(img: np.ndarray, mode: str = "row-wise", nsteps=None) -> int:

@@ -119,6 +119,31 @@ class CurveRef:
             R = self.add(R, self.mul(int(s), P))
         return R
 
+    def msm_pippenger(self, scalars, points, c: int = 8):
+        """Host Pippenger (exact Python ints) — the dry-run MSM path.
+
+        ~N * ceil(256/c) adds: on a CPU-only host this beats executing the
+        XLA limb ladder kernels by ~an order of magnitude (each device MSM
+        call there is 256 serial double-adds of ~100x-roofline limb ops)."""
+        n_windows = (256 + c - 1) // c
+        mask = (1 << c) - 1
+        R = None
+        for w in range(n_windows - 1, -1, -1):
+            if R is not None:
+                for _ in range(c):
+                    R = self.add(R, R)
+            buckets = [None] * (1 << c)
+            for s, P in zip(scalars, points):
+                d = (int(s) >> (w * c)) & mask
+                if d:
+                    buckets[d] = self.add(buckets[d], P)
+            running = total = None
+            for b in range((1 << c) - 1, 0, -1):
+                running = self.add(running, buckets[b])
+                total = self.add(total, running)
+            R = self.add(R, total)
+        return R
+
     def hash_to_point(self, seed: bytes, index: int):
         """Deterministic try-and-increment point derivation (Pedersen bases)."""
         ctr = 0

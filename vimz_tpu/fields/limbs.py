@@ -90,6 +90,15 @@ class LimbField:
     def to_mont(self, a):
         return self.mul(a, jnp.asarray(self.r2_limbs))
 
+    def to_mont_j(self, a):
+        """Jitted to_mont (cached): the eager version dispatches ~50 tiny
+        ops per call — over a tunneled device that is seconds per call."""
+        if not hasattr(self, "_to_mont_jit"):
+            import jax
+
+            self._to_mont_jit = jax.jit(self.to_mont)
+        return self._to_mont_jit(a)
+
     def from_mont(self, a):
         one = jnp.zeros_like(a).at[..., 0].set(1)
         return self.mul(a, one)

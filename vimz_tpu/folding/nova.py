@@ -210,15 +210,29 @@ class _FoldCore:
             self._bit_bases = None
             self._full_bases = None
 
+    def _use_table(self) -> bool:
+        """Subset-table MSM engine (curves/table_msm.py) — the default on
+        TPU; VIMZ_MSM_TABLE=0 falls back to the sort-based Pippenger walk."""
+        import os as _os
+
+        return _os.environ.get("VIMZ_MSM_TABLE", "1") not in ("", "0")
+
+    def _make_engine(self, bases_nm):
+        if self._use_table():
+            from vimz_tpu.curves.table_msm import PallasTableMsm
+
+            return PallasTableMsm(self.curve.ref, self.curve.f, bases_nm)
+        from vimz_tpu.curves.pallas_msm import PallasMsm
+
+        return PallasMsm(self.curve.ref, self.curve.f, bases_nm)
+
     def _pallas_msm_for(self, n: int):
-        """PallasMsm over the first n Pedersen bases (cached), or None."""
+        """Pallas MSM engine over the first n Pedersen bases, or None."""
         if not self._pl_ok or n is None or n < 2048:
             return None
         if n not in self._pl_msm:
-            from vimz_tpu.curves.pallas_msm import PallasMsm
-
-            self._pl_msm[n] = PallasMsm(
-                self.curve.ref, self.curve.f, _index_points(self.bases, slice(0, n))
+            self._pl_msm[n] = self._make_engine(
+                _index_points(self.bases, slice(0, n))
             )
         return self._pl_msm[n]
 
@@ -247,10 +261,36 @@ class _FoldCore:
     def commit(self, scalars_std) -> dict:
         """(N, 16) standard-form scalars -> Pedersen commitment point."""
         n = scalars_std.shape[0]
+        if self.msm_impl == "host":
+            out = self._msm_host(np.asarray(scalars_std)[None])
+            return {k: v[0] for k, v in out.items()}
         bases = _index_points(self.bases, slice(0, n))
         if self.msm_impl == "ladder":
             return self.curve.msm_ladder(scalars_std, bases)
         return self.curve.msm(scalars_std, bases)
+
+    def _base_affine(self, n: int) -> list:
+        """First n Pedersen bases as host affine points (cached)."""
+        if getattr(self, "_base_aff_n", 0) < n:
+            self._base_aff = self.curve.to_affine_ints(
+                _index_points(self.bases, slice(0, n))
+            )
+            self._base_aff_n = n
+        return self._base_aff[:n]
+
+    def _msm_host(self, scalars_std_np) -> dict:
+        """(m, N, 16) std limbs -> (m,) device point stack via the exact
+        host Pippenger (CurveRef.msm_pippenger). Used by the multi-chip dry
+        run on CPU-only hosts, where executing the XLA limb MSM kernels is
+        the dominant cost (~100x roofline) and compiling them is minutes."""
+        f = self.f
+        m, n = scalars_std_np.shape[0], scalars_std_np.shape[1]
+        bases_aff = self._base_affine(n)
+        vals = f.from_limbs(scalars_std_np)
+        pts = [
+            self.curve.ref.msm_pippenger(vals[i], bases_aff) for i in range(m)
+        ]
+        return self.curve.from_affine_ints(pts)
 
     def commit_many(self, scalars_std, chunk: int | None = None) -> dict:
         """(m, N, 16) -> stacked points (m,) — vmapped MSM kernels.
@@ -269,6 +309,8 @@ class _FoldCore:
 
         `prefix_n`: set when `bases` is the canonical prefix of the Pedersen
         base set (enables the Pallas engine, which is cached per prefix)."""
+        if self.msm_impl == "host":
+            return self._msm_host(np.asarray(scalars_std))
         m = scalars_std.shape[0]
         pad = (-m) % chunk
         if pad:
@@ -293,14 +335,9 @@ class _FoldCore:
         if not self._pl_ok or self._bit_bases is None or len(self._bit_idx) < 2048:
             return None, None
         if "leaf" not in self._pl_msm:
-            from vimz_tpu.curves.pallas_msm import PallasMsm
-
-            bit_e = PallasMsm(
-                self.curve.ref, self.curve.f,
-                _index_points(self.bases, self._bit_idx),
-            )
+            bit_e = self._make_engine(_index_points(self.bases, self._bit_idx))
             full_e = (
-                PallasMsm(self.curve.ref, self.curve.f, self._full_bases)
+                self._make_engine(self._full_bases)
                 if len(self._full_idx) >= 1024
                 else None
             )
@@ -317,7 +354,7 @@ class _FoldCore:
         group sums from compile-cheap kernels (the XLA masked-tree split
         costs ~10 min of XLA CPU compile)."""
         bit_e, full_e = self._pallas_leaf_engines()
-        if self.msm_impl == "ladder" or bit_e is None:
+        if self.msm_impl in ("ladder", "host") or bit_e is None:
             return self.commit_many(w_std)
         m = w_std.shape[0]
         chunk = self.MSM_CHUNK
@@ -1128,8 +1165,19 @@ class FoldingVerifier(_FoldCore):
         w_std = jnp.asarray(f.to_limbs(proof.w_final))
         e_std = jnp.asarray(f.to_limbs(proof.e_final))
         ref = self.curve.ref
-        cw_exp = self.to_affine(self.commit(w_std))[0]
-        ce_exp = self.to_affine(self.commit(e_std))[0]
+        # Openings run through the SAME batched engines the prover used
+        # (leaf bit/full split for W, constraint-prefix MSM for E), padded
+        # to the prover's batch shapes — zero additional kernel compiles in
+        # a prove+verify process, vs ~2 min per fresh single-MSM shape.
+        cw_exp = self.to_affine(self.commit_witnesses(w_std[None]))[0]
+        bases_c = _index_points(self.bases, slice(0, self.d.n_constraints))
+        ce_exp = self.to_affine(
+            self._msm_chunked(
+                e_std[None], bases_c,
+                min(self.MSM_CHUNK, self.PAIR_CHUNK),
+                prefix_n=self.d.n_constraints,
+            )
+        )[0]
         if r_w:
             cw_exp = ref.add(cw_exp, ref.mul(r_w, self._h_aff()))
         if r_e:
@@ -1143,8 +1191,8 @@ class FoldingVerifier(_FoldCore):
         z_full = np.concatenate(
             [np.array([u_host[0]], dtype=object), x_rows[0], proof.w_final]
         )
-        z_mont = f.to_mont(jnp.asarray(f.to_limbs(z_full)))
+        z_mont = f.to_mont_j(jnp.asarray(f.to_limbs(z_full)))
         u_mont = jnp.asarray(f.to_limbs_mont(np.array(u_host[0], dtype=object)))
-        e_mont = f.to_mont(jnp.asarray(e_std))
+        e_mont = f.to_mont_j(jnp.asarray(e_std))
         res = d.residual(z_mont, u_mont, e_mont)
         return bool(np.all(np.asarray(f.is_zero(res))))

@@ -68,11 +68,17 @@ def _pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+BATCH = 512  # fixed device batch: ONE compiled chain kernel per row length
+
+
 def batch_chain(init: int, values: np.ndarray) -> np.ndarray:
     """Batched `_chain`: (B, L) object ints -> (B,) object ints, on device.
 
-    Lanes are padded to a power of two so kernel shapes are reused across
-    tree levels.
+    Rows are processed in fixed BATCH-row chunks (tail zero-padded), so the
+    whole fold tree — every prover chunk level and every verifier level —
+    reuses ONE compiled kernel shape per row length L (instance digests
+    L=1+n_pub+8, fold challenges L=6). Shape-per-level padding used to
+    compile a fresh multi-minute scan kernel for each tree level.
     """
     B, L = values.shape
     # Small batches: the pure-Python chain beats compiling a fresh device
@@ -81,26 +87,51 @@ def batch_chain(init: int, values: np.ndarray) -> np.ndarray:
         return np.array([_chain(init, row) for row in values], dtype=object)
 
     import jax.numpy as jnp
-    from jax import lax
 
     from vimz_tpu.fields.limbs import FR_LIMBS as f
 
-    Bp = _pow2(max(B, 8))
-    vals = np.zeros((Bp, L), dtype=object)
-    vals[:B] = values
-    vm = f.to_mont(jnp.asarray(f.to_limbs(vals)))  # (Bp, L, 16)
-    acc = f.to_mont(
-        jnp.broadcast_to(
-            jnp.asarray(f.to_limbs(np.array(init % P_FR, dtype=object))), (Bp, 16)
-        )
-    )
-    p2 = _batched_p2()
+    run = _chain_jit()
+    init_limbs = jnp.asarray(f.to_limbs(np.array(init % P_FR, dtype=object)))
+    outs = []
+    for lo in range(0, B, BATCH):
+        chunk = values[lo : lo + BATCH]
+        vals = np.zeros((BATCH, L), dtype=object)
+        vals[: len(chunk)] = chunk
+        out = run(jnp.asarray(f.to_limbs(vals)), init_limbs)
+        outs.append(f.from_limbs_mont(np.asarray(out))[: len(chunk)])
+    return np.concatenate(outs)
 
-    def body(acc, v):
-        return p2.circom_hash(jnp.stack([acc, v], axis=-2)), None
 
-    acc, _ = lax.scan(body, acc, jnp.moveaxis(vm, 1, 0))
-    return f.from_limbs_mont(np.asarray(acc))[:B]
+_CHAIN_JIT = None
+
+
+def _chain_jit():
+    """One jitted function for the whole chain computation (to_mont + scan):
+    the eager formulation dispatched hundreds of tiny ops per call — over
+    the tunneled TPU that cost ~minutes per fresh process."""
+    global _CHAIN_JIT
+    if _CHAIN_JIT is None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from vimz_tpu.fields.limbs import FR_LIMBS as f
+
+        p2 = _batched_p2()
+
+        @jax.jit
+        def run(vals_std, init_limbs):
+            vm = f.to_mont(vals_std)  # (BATCH, L, 16)
+            acc = f.to_mont(jnp.broadcast_to(init_limbs, (vals_std.shape[0], 16)))
+
+            def body(acc, v):
+                return p2.circom_hash(jnp.stack([acc, v], axis=-2)), None
+
+            acc, _ = lax.scan(body, acc, jnp.moveaxis(vm, 1, 0))
+            return acc
+
+        _CHAIN_JIT = run
+    return _CHAIN_JIT
 
 
 def instance_digests_batch(us: list[int], xs: np.ndarray, comm_ws: list, comm_es: list):

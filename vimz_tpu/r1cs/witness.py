@@ -360,7 +360,7 @@ def execute_tape(r1cs, lo: int = 0, hi: int | None = None, sharding=None) -> jnp
         # batched over steps, so XLA partitions them SPMD with no collectives.
         W = jax.device_put(W, sharding)
     W = W.at[:, 0, :].set(one_mont)
-    in_mont = F.to_mont(jnp.asarray(F.to_limbs(r1cs.inputs[lo:hi])))
+    in_mont = F.to_mont_j(jnp.asarray(F.to_limbs(r1cs.inputs[lo:hi])))
     W = W.at[:, 1 : 1 + r1cs.n_inputs, :].set(in_mont)
 
     for st in stages:
