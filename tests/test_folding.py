@@ -50,10 +50,13 @@ def test_verify_rejects_wrong_final_state(grayscale_setup):
     assert not verifier.verify(proof, z0, bad_zn)
 
 
-def test_multichunk_streaming_matches_verifier():
-    """S > LEAF_CHUNK exercises chunk subtrees + the tail-overlap window;
-    the verifier recomputes one global tree, so agreement proves the
-    streaming order is bit-identical to a level-by-level fold."""
+def test_multichunk_streaming_matches_verifier(monkeypatch):
+    """S > LEAF_CHUNK exercises chunk subtrees + the tail-overlap window +
+    the span-stop (chunks leave multi-instance fronts; the top tree folds
+    the remaining levels). The verifier recomputes one global tree, so
+    agreement proves the streaming order is bit-identical to a
+    level-by-level fold."""
+    monkeypatch.setenv("VIMZ_CHUNK_SPAN", "2")  # chunks stop at span-2 roots
     img = tiny_image(h=10, w=20, seed=13)
     inp = make_input(img, convert_to_grayscale(img))
     r1cs = synthesize(Transformation.GRAYSCALE, inp)

@@ -664,7 +664,20 @@ class BatchedCurve:
             tmp = path + f".tmp.{os.getpid()}.npz"
             np_.savez(tmp, **arrs)
             os.replace(tmp, path)
-        return {k: jnp.asarray(v[:n]) for k, v in arrs.items()}
+        # In-memory device cache: prover and verifier instances (and MSM
+        # engines) must share ONE device copy — per-instance reloads both
+        # duplicated ~0.5 GB of HBM and, worse, gave every instance's jitted
+        # engines distinct argument buffers.
+        mem = getattr(self, "_bases_mem", None)
+        if mem is None or mem[0].get(seed, -1) < n:
+            dev = {k: jnp.asarray(v) for k, v in arrs.items()}
+            if mem is None:
+                self._bases_mem = ({seed: arrs["x"].shape[0]}, {seed: dev})
+            else:
+                mem[0][seed] = arrs["x"].shape[0]
+                mem[1][seed] = dev
+        dev = self._bases_mem[1][seed]
+        return {k: v[:n] for k, v in dev.items()}
 
 
     def blinding_base(self) -> dict:

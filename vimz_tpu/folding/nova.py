@@ -68,6 +68,12 @@ def _pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+# Process-wide MSM engine cache: (curve, table?, kind, identity) -> engine.
+# Prover and verifier over the same circuit share engines (tables + traced
+# jits); see _FoldCore._make_engine.
+_ENGINE_CACHE: dict[tuple, object] = {}
+
+
 class _RowStore:
     """Row-partitioned device array with progressive release.
 
@@ -217,22 +223,33 @@ class _FoldCore:
 
         return _os.environ.get("VIMZ_MSM_TABLE", "1") not in ("", "0")
 
-    def _make_engine(self, bases_nm):
+    def _make_engine(self, bases_nm, cache_key=None):
+        """Engines are PROCESS-wide (keyed by curve + base-set identity):
+        a verifier instance re-creating them would re-build ~1 GB of tables
+        and re-trace every engine jit (static self) — the bench's first
+        verify paid ~700 s doing exactly that."""
+        if cache_key is not None and cache_key in _ENGINE_CACHE:
+            return _ENGINE_CACHE[cache_key]
         if self._use_table():
             from vimz_tpu.curves.table_msm import PallasTableMsm
 
-            return PallasTableMsm(self.curve.ref, self.curve.f, bases_nm)
-        from vimz_tpu.curves.pallas_msm import PallasMsm
+            eng = PallasTableMsm(self.curve.ref, self.curve.f, bases_nm)
+        else:
+            from vimz_tpu.curves.pallas_msm import PallasMsm
 
-        return PallasMsm(self.curve.ref, self.curve.f, bases_nm)
+            eng = PallasMsm(self.curve.ref, self.curve.f, bases_nm)
+        if cache_key is not None:
+            _ENGINE_CACHE[cache_key] = eng
+        return eng
 
     def _pallas_msm_for(self, n: int):
         """Pallas MSM engine over the first n Pedersen bases, or None."""
         if not self._pl_ok or n is None or n < 2048:
             return None
         if n not in self._pl_msm:
+            key = (self.curve.ref.name, self._use_table(), "prefix", n)
             self._pl_msm[n] = self._make_engine(
-                _index_points(self.bases, slice(0, n))
+                _index_points(self.bases, slice(0, n)), cache_key=key
             )
         return self._pl_msm[n]
 
@@ -335,9 +352,18 @@ class _FoldCore:
         if not self._pl_ok or self._bit_bases is None or len(self._bit_idx) < 2048:
             return None, None
         if "leaf" not in self._pl_msm:
-            bit_e = self._make_engine(_index_points(self.bases, self._bit_idx))
+            import hashlib
+
+            sig = hashlib.sha256(self._bit_idx.tobytes()).hexdigest()[:16]
+            bit_e = self._make_engine(
+                _index_points(self.bases, self._bit_idx),
+                cache_key=(self.curve.ref.name, self._use_table(), "bit", sig),
+            )
             full_e = (
-                self._make_engine(self._full_bases)
+                self._make_engine(
+                    self._full_bases,
+                    cache_key=(self.curve.ref.name, self._use_table(), "full", sig),
+                )
                 if len(self._full_idx) >= 1024
                 else None
             )
@@ -423,6 +449,16 @@ class _FoldCore:
 
     def _zero_digest(self) -> int:
         return instance_digest(0, [0] * self.d.n_pub, None, None)
+
+    @staticmethod
+    def _pad_batch(a, chunk: int):
+        """Pad the leading (batch) axis up to `chunk` with zeros so a call
+        reuses an existing compiled kernel shape."""
+        m = a.shape[0]
+        if m == chunk:
+            return a
+        pad = jnp.zeros((chunk - m,) + a.shape[1:], dtype=a.dtype)
+        return jnp.concatenate([a, pad])
 
     # -- hiding commitments (SECURITY.md §1) -----------------------------
 
@@ -722,11 +758,15 @@ class FoldingProver(_FoldCore):
         # memory-capped small. LEAF_CHUNK overrides for tests exercising the
         # multi-chunk streaming + tail-overlap paths at tiny sizes.
         CS = self.LEAF_CHUNK or max(64, 2 * self.PAIR_CHUNK)
-        chunk_levels = CS.bit_length() - 1
+        # Each chunk folds only to span-SPAN sub-roots; all chunks' remaining
+        # levels run together in the top tree at full pair batches (folding
+        # every chunk to one root paid a full padded batch per tail level).
+        SPAN = min(int(__import__("os").environ.get("VIMZ_CHUNK_SPAN", "8")), CS)
+        sub_levels = (CS // SPAN).bit_length() - 1
         x_all = r1cs.inputs[:, : d.n_pub].copy()
         node_comm_t: dict[int, list] = {}
         leaf_comm_w_aff: list = []
-        roots: list[dict] = []
+        fronts: list[dict] = []
 
         for a in range(0, S, CS):
             b = min(a + CS, S)
@@ -768,38 +808,45 @@ class FoldingProver(_FoldCore):
                     [1] * n, x_all[a:b], comm_w_aff, [None] * n
                 ),
             )
-            roots.append(self._fold_to_root(state, node_comm_t, 0, progress))
-            if progress:
-                print(f"  chunk {a}:{b} folded to root", flush=True)
-
-        if len(roots) > 1:
-            state = dict(
-                z_store=_RowStore([jnp.concatenate([r["z"] for r in roots])]),
-                e_store=_RowStore([jnp.concatenate([r["e"] for r in roots])]),
-                comm_w_aff=[r["comm_w_aff"] for r in roots],
-                comm_e_aff=[r["comm_e_aff"] for r in roots],
-                u=[r["u"] for r in roots],
-                x=np.concatenate([r["x"] for r in roots]),
-                r_w=[r["r_w"] for r in roots],
-                r_e=[r["r_e"] for r in roots],
-                digests=[r["digest"] for r in roots],
+            fronts.append(
+                self._fold_to_root(
+                    state, node_comm_t, 0, progress, max_levels=sub_levels
+                )
             )
-            final = self._fold_to_root(state, node_comm_t, chunk_levels, progress)
+            if progress:
+                print(
+                    f"  chunk {a}:{b} folded to {len(fronts[-1]['u'])} sub-roots",
+                    flush=True,
+                )
+
+        if len(fronts) == 1 and len(fronts[0]["u"]) == 1:
+            final = fronts[0]
         else:
-            final = roots[0]
+            state = dict(
+                z_store=_RowStore([f["z"] for f in fronts]),
+                e_store=_RowStore([f["e"] for f in fronts]),
+                comm_w_aff=[c for f in fronts for c in f["comm_w_aff"]],
+                comm_e_aff=[c for f in fronts for c in f["comm_e_aff"]],
+                u=[v for f in fronts for v in f["u"]],
+                x=np.concatenate([f["x"] for f in fronts]),
+                r_w=[v for f in fronts for v in f["r_w"]],
+                r_e=[v for f in fronts for v in f["r_e"]],
+                digests=[v for f in fronts for v in f["digests"]],
+            )
+            final = self._fold_to_root(state, node_comm_t, sub_levels, progress)
 
         n_levels = max(node_comm_t) + 1 if node_comm_t else 0
         node_comm_t_list = [node_comm_t.get(l, []) for l in range(n_levels)]
         z_fin = final["z"][0]
         e_fin = final["e"][0]
-        u_host = [final["u"]]
-        x_rows = final["x"]
-        cw_fin = final["comm_w_aff"]
-        ce_fin = final["comm_e_aff"]
+        u_host = [final["u"][0]]
+        x_rows = final["x"][0:1]
+        cw_fin = final["comm_w_aff"][0]
+        ce_fin = final["comm_e_aff"][0]
         node_comm_t = node_comm_t_list
 
-        r_w_fin = final["r_w"] if self._hiding else None
-        r_e_fin = final["r_e"] if self._hiding else None
+        r_w_fin = final["r_w"][0] if self._hiding else None
+        r_e_fin = final["r_e"][0] if self._hiding else None
         if compress:
             from vimz_tpu.snark import SpartanProver
             from vimz_tpu.utils.tracing import span as _span
@@ -834,9 +881,23 @@ class FoldingProver(_FoldCore):
         )
 
     def _fold_to_root(
-        self, state: dict, node_sink: dict, level_offset: int, progress: bool = False
+        self,
+        state: dict,
+        node_sink: dict,
+        level_offset: int,
+        progress: bool = False,
+        max_levels: int | None = None,
     ) -> dict:
-        """Fold a front of instances down to a single root.
+        """Fold a front of instances through at most `max_levels` tree
+        levels (None = all the way to one root). Stopping early lets the
+        streaming prover leave each chunk at span-8 sub-roots and batch ALL
+        chunks' tail levels together in the top tree — those tail levels
+        otherwise fold 4/2/1 pairs in a full PAIR_CHUNK-padded batch each
+        (~20 s of mostly-padding device work per level per chunk at HD).
+        Level-based stopping keeps partial tail chunks aligned with the
+        global tree's levels, and evaluation order does not change the
+        proof: every node's challenge binds only its children, so the
+        global tree (and the verifier's recomputation) is bit-identical.
 
         `state` carries the device arrays (z/e row stores) and host
         bookkeeping (u scalars, public rows, digests, affine commitment
@@ -867,7 +928,7 @@ class FoldingProver(_FoldCore):
 
         active = len(u_host)
         level = 0
-        while active > 1:
+        while active > 1 and (max_levels is None or level < max_levels):
             nfull, carry = active // 2, active % 2
             comm_t_affs: list = []
             rs_level: list[int] = []
@@ -1006,20 +1067,22 @@ class FoldingProver(_FoldCore):
                     flush=True,
                 )
 
+        n_left = len(u_host)
         return dict(
-            z=z_store.gather(0, 1),
+            z=z_store.gather(0, n_left),
             e=(
-                e_store.gather(0, 1)
+                e_store.gather(0, n_left)
                 if e_store is not None
-                else jnp.zeros((1, nc, 16), dtype=jnp.uint32)
+                else jnp.zeros((n_left, nc, 16), dtype=jnp.uint32)
             ),
-            comm_w_aff=cw_aff[0],
-            comm_e_aff=ce_aff[0],
-            u=u_host[0],
-            x=x_rows[0:1],
-            r_w=r_w_host[0],
-            r_e=r_e_host[0],
-            digest=digests[0],
+            comm_w_aff=cw_aff,
+            comm_e_aff=ce_aff,
+            u=u_host,
+            x=x_rows,
+            r_w=r_w_host,
+            r_e=r_e_host,
+            digests=digests,
+            levels=level,
         )
 
 
@@ -1032,6 +1095,16 @@ class FoldingVerifier(_FoldCore):
         p = self.curve.ref.p
         return 0 <= x < p and 0 <= y < p and self.curve.ref.is_on_curve(pt)
 
+    @staticmethod
+    def _fail(reason: str) -> bool:
+        """All verification failures route through here; VIMZ_VERIFY_DEBUG=1
+        names the failing check (attacker-visible info is just the index)."""
+        import os, sys
+
+        if os.environ.get("VIMZ_VERIFY_DEBUG"):
+            print(f"[verify] FAILED: {reason}", file=sys.stderr, flush=True)
+        return False
+
     def verify(self, proof: FoldProof, z0: list[int], zn: list[int]) -> bool:
         f, d = self.f, self.d
         S = proof.steps
@@ -1041,40 +1114,40 @@ class FoldingVerifier(_FoldCore):
         # wrong lengths must yield False, not IndexErrors or (via JAX's
         # clamped out-of-bounds gathers) silently mis-bound commitments.
         if proof.x_rows.shape != (S, d.n_pub):
-            return False
+            return self._fail("x_rows shape")
         if S < 1 or sl_len * 2 != d.n_pub:
-            return False
+            return self._fail("steps/state_len")
         if len(proof.leaf_comm_w) != S:
-            return False
+            return self._fail("leaf_comm_w length")
         compressed = proof.spartan is not None
         if not compressed:
             if proof.w_final is None or proof.e_final is None:
-                return False
+                return self._fail("missing w/e final")
             if len(proof.w_final) != self.n_wit or len(proof.e_final) != d.n_constraints:
-                return False
+                return self._fail("w/e final lengths")
             if any(not (0 <= int(v) < P) for v in proof.w_final):
-                return False
+                return self._fail("w_final range")
             if any(not (0 <= int(v) < P) for v in proof.e_final):
-                return False
+                return self._fail("e_final range")
         for pt in proof.leaf_comm_w:
             if not self._point_ok(pt):
-                return False
+                return self._fail("leaf point invalid")
         for level in proof.node_comm_t:
             for pt in level:
                 if not self._point_ok(pt):
-                    return False
+                    return self._fail("node comm_T point invalid")
         if not (0 <= proof.u_final < P):
-            return False
+            return self._fail("u_final range")
 
         # 1) state chaining on public IO
         x_real = proof.x_rows % P
         if list(x_real[0, :sl_len]) != [v % P for v in z0]:
-            return False
+            return self._fail("z0 mismatch")
         if list(x_real[-1, sl_len:]) != [v % P for v in zn]:
-            return False
+            return self._fail("zn mismatch")
         for i in range(S - 1):
             if list(x_real[i, sl_len:]) != list(x_real[i + 1, :sl_len]):
-                return False
+                return self._fail("state chaining")
 
         # 2) recompute the fold tree over instances only (commitments as
         # host affine ints; device EC work at the fixed PAIR_CHUNK shape)
@@ -1093,12 +1166,12 @@ class FoldingVerifier(_FoldCore):
         level = 0
         for comm_t_aff in proof.node_comm_t:
             if m <= 1:
-                return False
+                return self._fail("tree exhausted early")
             k = m // 2
             nfull = active // 2
             carry = active % 2
             if len(comm_t_aff) != nfull:
-                return False
+                return self._fail("node_comm_t level length")
             rs = (
                 fold_challenges_batch(
                     digests[0 : 2 * nfull : 2], digests[1 : 2 * nfull : 2], comm_t_aff
@@ -1143,9 +1216,9 @@ class FoldingVerifier(_FoldCore):
             m = k
             level += 1
         if m != 1:
-            return False
+            return self._fail("tree not reduced to one root")
         if proof.u_final != u_host[0]:
-            return False
+            return self._fail("u_final mismatch")
 
         if compressed:
             # 3') compression SNARK over the tree-derived final instance
@@ -1161,15 +1234,36 @@ class FoldingVerifier(_FoldCore):
         r_w = proof.r_w_final or 0
         r_e = proof.r_e_final or 0
         if not (0 <= r_w < P and 0 <= r_e < P):
-            return False
+            return self._fail("blind range")
         w_std = jnp.asarray(f.to_limbs(proof.w_final))
         e_std = jnp.asarray(f.to_limbs(proof.e_final))
         ref = self.curve.ref
-        # Openings run through the SAME batched engines the prover used
-        # (leaf bit/full split for W, constraint-prefix MSM for E), padded
-        # to the prover's batch shapes — zero additional kernel compiles in
-        # a prove+verify process, vs ~2 min per fresh single-MSM shape.
-        cw_exp = self.to_affine(self.commit_witnesses(w_std[None]))[0]
+        # Openings reuse the prover's engines/tables, but ALWAYS as
+        # full-scalar MSMs: the FOLDED witness is a random linear
+        # combination, so its "bit" wires are full-width field elements —
+        # routing it through commit_witnesses' masked bit path read only
+        # the low limb as a 0/1 mask and rejected every honest proof.
+        bit_e, full_e = self._pallas_leaf_engines()
+        if bit_e is not None:
+            cw_pt = bit_e.msm_many(
+                self._pad_batch(w_std[None, self._bit_idx], self.MSM_CHUNK)
+            )
+            cw_pt = _index_points(cw_pt, slice(0, 1))
+            if len(self._full_idx):
+                if full_e is not None:
+                    fp = full_e.msm_many(
+                        self._pad_batch(w_std[None, self._full_idx], self.MSM_CHUNK)
+                    )
+                    fp = _index_points(fp, slice(0, 1))
+                else:
+                    fp = self._msm_chunked(
+                        w_std[None, self._full_idx], self._full_bases,
+                        self.MSM_CHUNK,
+                    )
+                cw_pt = self.curve.add_points(cw_pt, fp)
+            cw_exp = self.to_affine(cw_pt)[0]
+        else:
+            cw_exp = self.to_affine(self.commit_many(w_std[None]))[0]
         bases_c = _index_points(self.bases, slice(0, self.d.n_constraints))
         ce_exp = self.to_affine(
             self._msm_chunked(
@@ -1183,9 +1277,9 @@ class FoldingVerifier(_FoldCore):
         if r_e:
             ce_exp = ref.add(ce_exp, ref.mul(r_e, self._h_aff()))
         if cw_exp != cw_aff[0]:
-            return False
+            return self._fail("comm_w opening mismatch")
         if ce_exp != ce_aff[0]:
-            return False
+            return self._fail("comm_e opening mismatch")
 
         # 4) relaxed R1CS satisfaction of the final instance
         z_full = np.concatenate(

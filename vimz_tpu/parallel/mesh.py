@@ -75,12 +75,17 @@ def sharded_msm_partials(
     # check_vma=False: the Pippenger bucket walk seeds its fori_loop carries
     # with freshly-created (unvarying) infinity points, which the VMA checker
     # rejects inside a manual region even though the computation is correct.
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(PSpec("fold", None),) * 4,
-        out_specs=(PSpec(None),) * 3,
-        check_vma=False,
+    # jit around shard_map is ESSENTIAL: un-jitted shard_map executes the
+    # body op-by-op, compiling hundreds of tiny SPMD programs (the r1-r4
+    # multichip dryrun stall).
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(PSpec("fold", None),) * 4,
+            out_specs=(PSpec(None),) * 3,
+            check_vma=False,
+        )
     )
     x, y, z = fn(scalars_std, points["x"], points["y"], points["z"])
     return {"x": x, "y": y, "z": z}
