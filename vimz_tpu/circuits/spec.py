@@ -42,7 +42,7 @@ from vimz_tpu.fields.prime import P_FR as P
 from vimz_tpu.pipeline.input import Resolution, Transformation, VIMzInput, prepare_step_inputs
 from vimz_tpu.r1cs.builder import LC, Builder, R1CS
 from vimz_tpu.r1cs.gadgets import (
-    abs_diff,
+    enforce_abs_diff_le,
     enforce_bool,
     enforce_le_const,
     from_bits,
@@ -238,8 +238,7 @@ def _grayscale_build(b, z, ext, ctx):
     for (r, g, bl), tv in zip(src_px, gray_vals):
         # |299r + 587g + 114b - 1000*t| <= 1000 (grayscale.rs:16-49)
         lum = r.scale(299) + g.scale(587) + bl.scale(114)
-        d = abs_diff(b, lum, tv.scale(1000), 18)
-        enforce_le_const(b, d, 1000, 18)
+        enforce_abs_diff_le(b, lum, tv.scale(1000), 1000)
     return [head_tail_hash(b, z[0], orig), head_tail_hash(b, z[1], gray)]
 
 
@@ -270,8 +269,7 @@ def _brightness_build(b, z, ext, ctx):
         for c in range(3):
             scaled = mul(b, sp[c], factor)  # 13 bits
             actual = vmin(b, scaled, vconst(2550), 13)
-            d = abs_diff(b, actual, tp[c].scale(10), 12)
-            enforce_le_const(b, d, 10, 12)
+            enforce_abs_diff_le(b, actual, tp[c].scale(10), 10)
     return [head_tail_hash(b, z[0], orig), head_tail_hash(b, z[1], tran), factor]
 
 
@@ -301,8 +299,7 @@ def _contrast_build(b, z, ext, ctx):
             a = mul(b, sp[c], factor).add_const(1280)
             bb = saturating_sub(b, a, factor_mean, 14)
             contrasted = vmin(b, bb, vconst(2550), 13)
-            d = abs_diff(b, contrasted, tp[c].scale(10), 13)
-            enforce_le_const(b, d, 10, 13)
+            enforce_abs_diff_le(b, contrasted, tp[c].scale(10), 10)
     return [head_tail_hash(b, z[0], orig), head_tail_hash(b, z[1], tran), factor]
 
 
@@ -338,8 +335,7 @@ def _conv_build(kernel, k_scale, tolerance, shift):
                             term = padded[kr][i + kc][c]
                             conv = conv + term.scale(kv)
                 if shift is None:
-                    d = abs_diff(b, conv, tp[c].scale(k_scale), 12)
-                    enforce_le_const(b, d, tolerance, 12)
+                    enforce_abs_diff_le(b, conv, tp[c].scale(k_scale), tolerance)
                 else:
                     adjusted = conv.add_const(shift)
                     up = vmin(b, adjusted, vconst(shift + 255), 11)
@@ -504,8 +500,7 @@ def _resize_build(b, z, ext, ctx):
                     + lower[2 * j][c].scale(kl)
                     + lower[2 * j + 1][c].scale(kl)
                 )
-                d = abs_diff(b, conv, tp[c].scale(6), 11)
-                enforce_le_const(b, d, 6, 11)
+                enforce_abs_diff_le(b, conv, tp[c].scale(6), 6)
 
     src = z[0]
     for r in (r0, r1, r2):

@@ -75,6 +75,25 @@ def enforce_le_const(b: Builder, x: LC, bound: int, n: int):
     b.enforce_equal(r, LC.const(1))
 
 
+def enforce_abs_diff_le(b: Builder, x: LC, y: LC, bound: int):
+    """|x - y| <= bound via ONE tolerance-width decomposition.
+
+    d = x - y + bound is decomposed to n = bits(2*bound) bits, then d <=
+    2*bound. Sound whenever x and y are already range-bounded far below P
+    (every call site compares scaled bytes, < 2^35): a negative x - y + bound
+    wraps mod P to a ~254-bit value that cannot satisfy the n-bit
+    decomposition, so the integer relation -bound <= x - y <= bound is
+    enforced exactly. Replaces abs_diff + enforce_le_const (3n+7 constraints
+    at the *operand* width n) with 2n'+4 at the *tolerance* width n' — the
+    semantics of the reference checkers (e.g. grayscale.rs:16-49 tolerance
+    1000, blur.rs:22-64 tolerance 9) at a fraction of the rows."""
+    n = max(1, (2 * bound).bit_length())
+    d = (x - y).add_const(bound)
+    to_bits(b, d, n)
+    if 2 * bound < (1 << n) - 1:
+        enforce_le_const(b, d, 2 * bound, n)
+
+
 def vmin(b: Builder, x: LC, y: LC, n: int) -> LC:
     c = le(b, x, y, n)
     return select(b, c, x, y)
