@@ -131,7 +131,9 @@ def main():
     if eng is not None:
         timed("comm_T pallas msm_many(MC)", lambda: eng.msm_many(sc), reps=2)
 
-        # ---- Pallas MSM sub-stages ----
+    # ---- sort-based PallasMsm sub-stages (skipped for the subset-table
+    # engine, which has no dedup/sort/walk decomposition) ----
+    if eng is not None and hasattr(eng, "_dedup"):
         ded = timed("  msm dedup", jax.jit(lambda s: eng._dedup(s)), sc)
         sc_d, pts_d = ded
         c = 8
@@ -224,13 +226,7 @@ def main():
     timed("fold_z kernel", lambda: prover._fold_z_kernel(z1, z2, r_mont))
     timed("fold_e0 kernel", lambda: prover._fold_e0_kernel(Tm, r_mont))
 
-    # ---- point folds + digests + affine ----
-    pts_aff = [(1, 2)] * B
-    rs = [12345] * B
-    timed("fold_comm_w_batch(B)", lambda: prover.fold_comm_w_batch(
-        pts_aff, pts_aff, rs))
-    timed("fold_comm_e_batch(B)", lambda: prover.fold_comm_e_batch(
-        pts_aff, pts_aff, pts_aff, rs))
+    # ---- digests + affine ----
     x64 = np.zeros((64, d.n_pub), dtype=object)
     timed("instance_digests(64)", lambda: instance_digests_batch(
         [1] * 64, x64, [(1, 2)] * 64, [None] * 64))

@@ -80,8 +80,9 @@ x_all = r1cs.inputs[:, : d.n_pub].copy()
 prover._hiding = False
 prover._blind_rng = None
 state = dict(
-    z_store=_RowStore([z_c]), e_store=None, comm_w_aff=comm_aff,
-    comm_e_aff=[None] * S, u=[1] * S, x=x_all[:S].copy(),
+    z_store=_RowStore([z_c]), e_store=None,
+    cw_maps=[{i: 1} for i in range(S)], ce_maps=[{} for _ in range(S)],
+    u=[1] * S, x=x_all[:S].copy(),
     r_w=[0] * S, r_e=[0] * S,
     digests=instance_digests_batch([1] * S, x_all[:S], comm_aff, [None] * S),
 )

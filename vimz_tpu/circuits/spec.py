@@ -619,6 +619,7 @@ def build_structure(transformation: Transformation, n_ext: int, ctx: dict) -> Bu
 
     cached = disk_load(key)
     if cached is not None:
+        cached.structure_key = key
         _STRUCTURES[key] = cached
         return cached
 
@@ -631,6 +632,7 @@ def build_structure(transformation: Transformation, n_ext: int, ctx: dict) -> Bu
     for got, want in zip(z_next, z_out):
         b.enforce_equal(got, want)
 
+    b.structure_key = key
     _STRUCTURES[key] = b
     disk_save(key, b)
     return b
@@ -664,6 +666,10 @@ def synthesize(
     with span("finalize"):
         inputs = np.concatenate([chain[:-1], chain[1:], step_inputs], axis=1)
         r1cs = b.finalize(inputs)
+    # Structure identity for downstream derived-array caches (DeviceR1CS
+    # ELL packs): same key as the structure disk cache, so any circuit
+    # change invalidates them together.
+    r1cs.structure_key = getattr(b, "structure_key", None)
     if __import__("os").environ.get("VIMZ_DEBUG_CHECK"):
         # Cheap circuit/chain-divergence canary: execute the tape for one
         # sampled step and check plain R1CS satisfaction. A divergence

@@ -24,10 +24,14 @@ one kernel shape per operation, not one per tree level.
 
 Soundness rests on the standard Nova folding lemma applied at every tree
 node, with Fiat–Shamir challenges binding the node's children and cross-term
-commitment (see folding/transcript.py). The final proof contains the folded
-witness in the clear (no zero-knowledge / no compression SNARK yet — the
-succinctness stage is tracked as future work; the reference's acceptance
-gate at this stage is IVC-verify + final-state check, which this matches).
+commitment (see folding/transcript.py). The transcript is a Merkle-style
+tree: a node's challenge r = H(D_left, D_right, comm_T) doubles as its
+digest, so it recursively binds every leaf commitment and cross term below
+it, and the folded commitments themselves never enter the transcript. Both
+prover and verifier therefore track commitments only as host-side challenge
+-product coefficients; the final cw/ce are linear combinations of the leaf
+and cross-term points (two host mini-MSMs), and the verifier does NO
+per-level EC work at all.
 """
 
 from __future__ import annotations
@@ -425,16 +429,6 @@ class _FoldCore:
         """p1 + r * p2, batched (jitted: called from host-driven loops)."""
         return self.curve.add(p1, self.curve.scalar_mul(r_std, p2))
 
-    @partial(jax.jit, static_argnums=0)
-    def fold_comm_e(self, ce1: dict, ct: dict, ce2: dict, r_std, r2_std) -> dict:
-        """ce1 + r*ct + r^2*ce2, batched (jitted)."""
-        return self.curve.add(
-            ce1,
-            self.curve.add(
-                self.curve.scalar_mul(r_std, ct), self.curve.scalar_mul(r2_std, ce2)
-            ),
-        )
-
     def _pad_points(self, pts: dict, n: int) -> dict:
         m = pts["z"].shape[0]
         if m == n:
@@ -510,6 +504,45 @@ class _FoldCore:
         out = _concat_points(parts)
         return {k: v[:m] for k, v in out.items()}
 
+    @staticmethod
+    def _merge_coeff_maps(m1: dict, m2: dict, r: int, extra=None) -> dict:
+        """Coefficient map of a folded node: m1 + r*m2 (+ extra: r^k on a
+        fresh key). Keys are disjoint (leaf/node sets of the two subtrees),
+        so the merge is a plain union with the right side scaled."""
+        out = dict(m1)
+        for k, v in m2.items():
+            out[k] = v * r % P
+        if extra is not None:
+            out[extra[0]] = extra[1] % P
+        return out
+
+    def _derive_final_comms(
+        self, leaf_comm_aff: list, node_comm_t: list, cw_map: dict, ce_map: dict
+    ) -> tuple:
+        """Final (cw, ce) as linear combinations of the leaf witness
+        commitments and the cross-term commitments, with the challenge
+        products tracked in the tree walk's coefficient maps.
+
+        Two host Pippenger MSMs over at most 2S-1 points (~1.5k at HD) —
+        no device kernels, no extra compiled shapes; the points are host
+        affine ints already (proof fields on the verifier side, chunk
+        outputs on the prover side)."""
+        ref = self.curve.ref
+        lam, lpts = [], []
+        for i, c in cw_map.items():
+            if c and leaf_comm_aff[i] is not None:
+                lam.append(c)
+                lpts.append(leaf_comm_aff[i])
+        mu, mpts = [], []
+        for (lvl, idx), c in ce_map.items():
+            pt = node_comm_t[lvl][idx]
+            if c and pt is not None:
+                mu.append(c)
+                mpts.append(pt)
+        cw = ref.msm_pippenger(lam, lpts) if lam else None
+        ce = ref.msm_pippenger(mu, mpts) if mu else None
+        return cw, ce
+
     def cross_terms_chunked(self, z1, u1, z2, u2):
         """d.cross_term over the pair axis in fixed-size chunks."""
         k = z1.shape[0]
@@ -527,61 +560,6 @@ class _FoldCore:
             for i in range(0, k + pad, cs)
         ]
         return jnp.concatenate(parts)[:k]
-
-    # -- fixed-shape host-affine commitment folding ------------------------
-    #
-    # Between tree levels, commitment points live host-side as affine int
-    # pairs (or None = infinity); every device EC call below runs at ONE
-    # batch shape (PAIR_CHUNK) per circuit. Letting point-stack shapes track
-    # the shrinking tree (k = 16, 8, 4, 2, 1 and per-level to_affine over
-    # the whole stack) compiled a fresh multi-minute XLA kernel for every
-    # shape — more wall clock than the folding itself at HD scale.
-
-    def _aff_to_dev(self, pts_aff: list) -> dict:
-        """Affine int list (len <= PAIR_CHUNK, None ok) -> padded device stack."""
-        B = self.PAIR_CHUNK
-        return self.curve.from_affine_ints(list(pts_aff) + [None] * (B - len(pts_aff)))
-
-    def fold_comm_w_batch(self, left_aff: list, right_aff: list, rs: list[int]) -> list:
-        """[l + r*rs] over affine int lists, device-batched at PAIR_CHUNK."""
-        B = self.PAIR_CHUNK
-        out = []
-        for i in range(0, len(left_aff), B):
-            l, r = left_aff[i : i + B], right_aff[i : i + B]
-            k = len(l)
-            r_std, _ = self._r_limbs(list(rs[i : i + B]) + [0] * (B - k))
-            folded = self.fold_points(self._aff_to_dev(l), self._aff_to_dev(r), r_std)
-            out.extend(self.to_affine(folded)[:k])
-        return out
-
-    def fold_comm_e_batch(
-        self, left_aff: list, ct: list | dict, right_aff: list, rs: list[int]
-    ) -> list:
-        """[ce1 + r*ct + r^2*ce2] over affine lists at PAIR_CHUNK.
-
-        `ct` may be a device point stack (already PAIR_CHUNK-padded, the
-        prover's freshly-committed cross terms) or an affine int list. With
-        ce1 = ce2 = infinity this reduces to r*ct (the level-0 E fold) while
-        reusing the same compiled kernel.
-        """
-        B = self.PAIR_CHUNK
-        dev_ct = isinstance(ct, dict)
-        out = []
-        for i in range(0, len(rs), B):
-            k = min(B, len(rs) - i)
-            rk = list(rs[i : i + B]) + [0] * (B - k)
-            r_std, _ = self._r_limbs(rk)
-            r2_std, _ = self._r_limbs([r * r % P for r in rk])
-            ctp = ct if dev_ct else self._aff_to_dev(ct[i : i + B])
-            folded = self.fold_comm_e(
-                self._aff_to_dev(left_aff[i : i + B]),
-                ctp,
-                self._aff_to_dev(right_aff[i : i + B]),
-                r_std,
-                r2_std,
-            )
-            out.extend(self.to_affine(folded)[:k])
-        return out
 
     ROW_BLOCK = 16384  # wire/constraint-axis block for wide elementwise kernels
 
@@ -798,8 +776,8 @@ class FoldingProver(_FoldCore):
             state = dict(
                 z_store=_RowStore([z_c]),
                 e_store=None,
-                comm_w_aff=comm_w_aff,
-                comm_e_aff=[None] * n,
+                cw_maps=[{a + i: 1} for i in range(n)],
+                ce_maps=[{} for _ in range(n)],
                 u=[1] * n,
                 x=x_all[a:b].copy(),
                 r_w=r_ws,
@@ -825,8 +803,8 @@ class FoldingProver(_FoldCore):
             state = dict(
                 z_store=_RowStore([f["z"] for f in fronts]),
                 e_store=_RowStore([f["e"] for f in fronts]),
-                comm_w_aff=[c for f in fronts for c in f["comm_w_aff"]],
-                comm_e_aff=[c for f in fronts for c in f["comm_e_aff"]],
+                cw_maps=[c for f in fronts for c in f["cw_maps"]],
+                ce_maps=[c for f in fronts for c in f["ce_maps"]],
                 u=[v for f in fronts for v in f["u"]],
                 x=np.concatenate([f["x"] for f in fronts]),
                 r_w=[v for f in fronts for v in f["r_w"]],
@@ -841,8 +819,6 @@ class FoldingProver(_FoldCore):
         e_fin = final["e"][0]
         u_host = [final["u"][0]]
         x_rows = final["x"][0:1]
-        cw_fin = final["comm_w_aff"][0]
-        ce_fin = final["comm_e_aff"][0]
         node_comm_t = node_comm_t_list
 
         r_w_fin = final["r_w"][0] if self._hiding else None
@@ -851,6 +827,12 @@ class FoldingProver(_FoldCore):
             from vimz_tpu.snark import SpartanProver
             from vimz_tpu.utils.tracing import span as _span
 
+            # Only the compression SNARK needs the final commitments as
+            # actual points; the uncompressed verifier derives them itself.
+            cw_fin, ce_fin = self._derive_final_comms(
+                leaf_comm_w_aff, node_comm_t, final["cw_maps"][0],
+                final["ce_maps"][0],
+            )
             with _span("compress_snark"):
                 sp = SpartanProver(d, self.curve)
                 spartan = sp.prove(
@@ -899,12 +881,22 @@ class FoldingProver(_FoldCore):
         proof: every node's challenge binds only its children, so the
         global tree (and the verifier's recomputation) is bit-identical.
 
+        Transcript tree: a node's Fiat–Shamir challenge
+        r = H(D_left, D_right, comm_T) doubles as the node's digest —
+        it recursively binds every leaf commitment and cross term in the
+        subtree (Merkle-style), so intermediate FOLDED commitment points
+        are never needed for the transcript. Commitments are tracked as
+        host-side coefficient maps (leaf index -> lambda, node -> mu):
+        the final cw/ce are single linear combinations of the leaf and
+        cross-term points, which the verifier recomputes with two small
+        host MSMs instead of re-folding points level by level.
+
         `state` carries the device arrays (z/e row stores) and host
-        bookkeeping (u scalars, public rows, digests, affine commitment
-        lists) for `active` instances. Every device call — cross terms,
-        fold kernels, MSMs, point folds — runs at ONE fixed batch shape
-        (PAIR_CHUNK pairs, tail-padded), so XLA compiles one kernel set per
-        circuit regardless of tree depth. Emits each level's cross-term
+        bookkeeping (u scalars, public rows, digests, coefficient maps)
+        for `active` instances. Every device call — cross terms, fold
+        kernels, MSMs — runs at ONE fixed batch shape (PAIR_CHUNK pairs,
+        tail-padded), so XLA compiles one kernel set per circuit
+        regardless of tree depth. Emits each level's cross-term
         commitments into `node_sink[level_offset + level]` (global level)."""
         import jax as _jax
 
@@ -917,8 +909,8 @@ class FoldingProver(_FoldCore):
 
         z_store: _RowStore = state["z_store"]
         e_store = state["e_store"]
-        cw_aff = list(state["comm_w_aff"])
-        ce_aff = list(state["comm_e_aff"])
+        cw_maps = list(state["cw_maps"])
+        ce_maps = list(state["ce_maps"])
         u_host = list(state["u"])
         x_rows = state["x"]
         r_w_host = list(state.get("r_w", [0] * len(u_host)))
@@ -930,11 +922,16 @@ class FoldingProver(_FoldCore):
         level = 0
         while active > 1 and (max_levels is None or level < max_levels):
             nfull, carry = active // 2, active % 2
+            gl = level_offset + level
+            # Index base of this call's nodes within the GLOBAL level list
+            # (chunk subtrees extend each level strictly in leaf order, so
+            # prover and verifier agree on (level, index) node addressing).
+            node_base = len(node_sink.setdefault(gl, []))
             comm_t_affs: list = []
             rs_level: list[int] = []
             rt_level: list[int] = []
-            new_z, new_e, new_cw, new_ce = [], [], [], []
-            with span("fold_level", level=level_offset + level, pairs=nfull):
+            new_z, new_e = [], []
+            with span("fold_level", level=gl, pairs=nfull):
                 for pa in range(0, nfull, B):
                     pb = min(pa + B, nfull)
                     k = pb - pa
@@ -977,9 +974,6 @@ class FoldingProver(_FoldCore):
                     new_z.append(self._fold_z_kernel(z1, z2, r_mont)[:k])
                     if e_store is None:
                         new_e.append(self._fold_e0_kernel(T, r_mont)[:k])
-                        new_ce.extend(self.fold_comm_e_batch(
-                            [None] * k, comm_t, [None] * k, rs,
-                        ))
                     else:
                         eseg = e_store.gather(2 * pa, 2 * pb)
                         e1, e2 = eseg[0::2], eseg[1::2]
@@ -993,17 +987,6 @@ class FoldingProver(_FoldCore):
                         new_e.append(
                             self._fold_e_kernel(e1, T, e2, r_mont, r2_mont)[:k]
                         )
-                        new_ce.extend(self.fold_comm_e_batch(
-                            ce_aff[2 * pa : 2 * pb : 2],
-                            comm_t,
-                            ce_aff[2 * pa + 1 : 2 * pb : 2],
-                            rs,
-                        ))
-                    new_cw.extend(self.fold_comm_w_batch(
-                        cw_aff[2 * pa : 2 * pb : 2],
-                        cw_aff[2 * pa + 1 : 2 * pb : 2],
-                        rs,
-                    ))
                     # free fully-consumed child chunks (carry row excluded:
                     # it sits at index 2*nfull >= 2*pb)
                     _jax.block_until_ready(new_z[-1])
@@ -1019,13 +1002,9 @@ class FoldingProver(_FoldCore):
                         if e_store is not None
                         else jnp.zeros((1, nc, 16), dtype=jnp.uint32)
                     )
-                    new_cw.append(cw_aff[ci])
-                    new_ce.append(ce_aff[ci])
 
             z_store = _RowStore(new_z)
             e_store = _RowStore(new_e)
-            cw_aff = new_cw
-            ce_aff = new_ce
 
             u_next = [
                 (u_host[2 * j] + rs_level[j] * u_host[2 * j + 1]) % P
@@ -1048,17 +1027,37 @@ class FoldingProver(_FoldCore):
                 x_rows[0 : 2 * nfull : 2]
                 + x_rows[1 : 2 * nfull : 2] * np.array(rs_level, dtype=object)[:, None]
             ) % P if nfull else np.zeros((0, d.n_pub), dtype=object)
+            cw_next = [
+                self._merge_coeff_maps(cw_maps[2 * j], cw_maps[2 * j + 1], rs_level[j])
+                for j in range(nfull)
+            ]
+            ce_next = [
+                self._merge_coeff_maps(
+                    ce_maps[2 * j],
+                    ce_maps[2 * j + 1],
+                    rs_level[j] * rs_level[j] % P,
+                    extra=((gl, node_base + j), rs_level[j]),
+                )
+                for j in range(nfull)
+            ]
+            # The node's challenge doubles as its transcript digest: it
+            # already binds both child digests and the cross-term commitment.
+            digests_next = list(rs_level)
             if carry:
                 u_next.append(u_host[2 * nfull])
                 rw_next.append(r_w_host[2 * nfull])
                 re_next.append(r_e_host[2 * nfull])
                 x_next = np.concatenate([x_next, x_rows[2 * nfull : 2 * nfull + 1]])
+                cw_next.append(cw_maps[2 * nfull])
+                ce_next.append(ce_maps[2 * nfull])
+                digests_next.append(digests[2 * nfull])
 
             active = nfull + carry
-            digests = instance_digests_batch(u_next, x_next, cw_aff, ce_aff)
+            digests = digests_next
             u_host, x_rows = u_next, x_next
             r_w_host, r_e_host = rw_next, re_next
-            node_sink.setdefault(level_offset + level, []).extend(comm_t_affs)
+            cw_maps, ce_maps = cw_next, ce_next
+            node_sink[gl].extend(comm_t_affs)
             level += 1
             if progress:
                 print(
@@ -1075,8 +1074,8 @@ class FoldingProver(_FoldCore):
                 if e_store is not None
                 else jnp.zeros((n_left, nc, 16), dtype=jnp.uint32)
             ),
-            comm_w_aff=cw_aff,
-            comm_e_aff=ce_aff,
+            cw_maps=cw_maps,
+            ce_maps=ce_maps,
             u=u_host,
             x=x_rows,
             r_w=r_w_host,
@@ -1149,13 +1148,16 @@ class FoldingVerifier(_FoldCore):
             if list(x_real[i, sl_len:]) != list(x_real[i + 1, :sl_len]):
                 return self._fail("state chaining")
 
-        # 2) recompute the fold tree over instances only (commitments as
-        # host affine ints; device EC work at the fixed PAIR_CHUNK shape)
+        # 2) recompute the fold tree transcript: leaf digests, then one
+        # batched challenge chain per level (a node's challenge IS its
+        # digest — it binds both child digests and the cross-term
+        # commitment recursively). Commitments are tracked as coefficient
+        # maps; NO EC work happens in the tree walk.
         x_rows = np.zeros((Sp, d.n_pub), dtype=object)
         x_rows[:S] = x_real
         u_host = [1] * S + [0] * (Sp - S)
-        cw_aff = list(proof.leaf_comm_w) + [None] * (Sp - S)
-        ce_aff: list = [None] * Sp
+        cw_maps: list = [{i: 1} for i in range(S)] + [{} for _ in range(Sp - S)]
+        ce_maps: list = [{} for _ in range(Sp)]
         zd = self._zero_digest()
         digests = instance_digests_batch(
             [1] * S, x_rows[:S], proof.leaf_comm_w, [None] * S
@@ -1179,46 +1181,54 @@ class FoldingVerifier(_FoldCore):
                 if nfull
                 else []
             )
-            cw_next = self.fold_comm_w_batch(
-                cw_aff[0 : 2 * nfull : 2], cw_aff[1 : 2 * nfull : 2], rs
-            )
-            ce_next = self.fold_comm_e_batch(
-                ce_aff[0 : 2 * nfull : 2],
-                list(comm_t_aff),
-                ce_aff[1 : 2 * nfull : 2],
-                rs,
-            )
-
             u_next = [(u_host[2 * j] + rs[j] * u_host[2 * j + 1]) % P for j in range(nfull)]
             x_next = (
                 x_rows[0 : 2 * nfull : 2]
                 + x_rows[1 : 2 * nfull : 2] * np.array(rs, dtype=object)[:, None]
             ) % P if nfull else np.zeros((0, d.n_pub), dtype=object)
+            cw_next = [
+                self._merge_coeff_maps(cw_maps[2 * j], cw_maps[2 * j + 1], rs[j])
+                for j in range(nfull)
+            ]
+            ce_next = [
+                self._merge_coeff_maps(
+                    ce_maps[2 * j],
+                    ce_maps[2 * j + 1],
+                    rs[j] * rs[j] % P,
+                    extra=((level, j), rs[j]),
+                )
+                for j in range(nfull)
+            ]
+            digests_next = list(rs)
             if carry:
                 ci = 2 * nfull
-                cw_next.append(cw_aff[ci])
-                ce_next.append(ce_aff[ci])
                 u_next.append(u_host[ci])
                 x_next = np.concatenate([x_next, x_rows[ci : ci + 1]])
+                cw_next.append(cw_maps[ci])
+                ce_next.append(ce_maps[ci])
+                digests_next.append(digests[ci])
 
             nz = k - nfull - carry
-            n_active_next = nfull + carry
-            digests = instance_digests_batch(
-                u_next, x_next, cw_next, ce_next
-            ) + [zd] * nz
-            cw_aff = cw_next + [None] * nz
-            ce_aff = ce_next + [None] * nz
+            digests = digests_next + [zd] * nz
+            cw_maps = cw_next + [{} for _ in range(nz)]
+            ce_maps = ce_next + [{} for _ in range(nz)]
             u_host = u_next + [0] * nz
             x_rows = np.concatenate(
                 [x_next, np.zeros((nz, d.n_pub), dtype=object)]
             ) if nz else x_next
-            active = n_active_next
+            active = nfull + carry
             m = k
             level += 1
         if m != 1:
             return self._fail("tree not reduced to one root")
         if proof.u_final != u_host[0]:
             return self._fail("u_final mismatch")
+
+        # Final commitments: two host mini-MSMs over the leaf and
+        # cross-term points with the tree-derived challenge products.
+        cw_root, ce_root = self._derive_final_comms(
+            proof.leaf_comm_w, proof.node_comm_t, cw_maps[0], ce_maps[0]
+        )
 
         if compressed:
             # 3') compression SNARK over the tree-derived final instance
@@ -1227,7 +1237,7 @@ class FoldingVerifier(_FoldCore):
 
             sv = SpartanVerifier(self.d, self.curve)
             return sv.verify(
-                proof.spartan, u_host[0], list(x_rows[0]), cw_aff[0], ce_aff[0]
+                proof.spartan, u_host[0], list(x_rows[0]), cw_root, ce_root
             )
 
         # 3) final opening checks (blinded: C = <v, G> + r*H, SECURITY.md §1)
@@ -1243,22 +1253,19 @@ class FoldingVerifier(_FoldCore):
         # combination, so its "bit" wires are full-width field elements —
         # routing it through commit_witnesses' masked bit path read only
         # the low limb as a 0/1 mask and rejected every honest proof.
+        # Single-instance MSM shapes: msm_many is shape-polymorphic per
+        # batch, so B=1 calls avoid paying for MSM_CHUNK-1 padded lanes of
+        # full-width MSM work (one extra compiled shape, persistently
+        # cached — warm opening cost drops ~MSM_CHUNKx).
         bit_e, full_e = self._pallas_leaf_engines()
         if bit_e is not None:
-            cw_pt = bit_e.msm_many(
-                self._pad_batch(w_std[None, self._bit_idx], self.MSM_CHUNK)
-            )
-            cw_pt = _index_points(cw_pt, slice(0, 1))
+            cw_pt = bit_e.msm_many(w_std[None, self._bit_idx])
             if len(self._full_idx):
                 if full_e is not None:
-                    fp = full_e.msm_many(
-                        self._pad_batch(w_std[None, self._full_idx], self.MSM_CHUNK)
-                    )
-                    fp = _index_points(fp, slice(0, 1))
+                    fp = full_e.msm_many(w_std[None, self._full_idx])
                 else:
                     fp = self._msm_chunked(
-                        w_std[None, self._full_idx], self._full_bases,
-                        self.MSM_CHUNK,
+                        w_std[None, self._full_idx], self._full_bases, 1
                     )
                 cw_pt = self.curve.add_points(cw_pt, fp)
             cw_exp = self.to_affine(cw_pt)[0]
@@ -1267,18 +1274,16 @@ class FoldingVerifier(_FoldCore):
         bases_c = _index_points(self.bases, slice(0, self.d.n_constraints))
         ce_exp = self.to_affine(
             self._msm_chunked(
-                e_std[None], bases_c,
-                min(self.MSM_CHUNK, self.PAIR_CHUNK),
-                prefix_n=self.d.n_constraints,
+                e_std[None], bases_c, 1, prefix_n=self.d.n_constraints
             )
         )[0]
         if r_w:
             cw_exp = ref.add(cw_exp, ref.mul(r_w, self._h_aff()))
         if r_e:
             ce_exp = ref.add(ce_exp, ref.mul(r_e, self._h_aff()))
-        if cw_exp != cw_aff[0]:
+        if cw_exp != cw_root:
             return self._fail("comm_w opening mismatch")
-        if ce_exp != ce_aff[0]:
+        if ce_exp != ce_root:
             return self._fail("comm_e opening mismatch")
 
         # 4) relaxed R1CS satisfaction of the final instance

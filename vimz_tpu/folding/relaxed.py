@@ -72,33 +72,69 @@ class DeviceR1CS:
         self.n_wires = r1cs.n_wires
         self.n_constraints = r1cs.n_constraints
         self.f = FR_LIMBS
-        # which wires are 0/1-valued (bit decompositions, booleans): the
-        # commitment layer uses this for its masked tree-sum fast path
-        self.bit_mask = np.zeros(r1cs.n_wires, dtype=bool)
-        for op in r1cs.tape:
-            if op.kind == "bits":
-                self.bit_mask[op.out : op.out + op.n_out] = True
-            elif op.kind == "iszero":
-                self.bit_mask[op.out + 1] = True
+        # The host-side ELL pack (Python per-term loops + object-int limb
+        # conversion over ~1e6 coefficients) costs minutes per process at HD
+        # scale but is deterministic per structure — cache it on disk keyed
+        # by the structure cache key (set by circuits.synthesize).
+        skey = getattr(r1cs, "structure_key", None)
+        cached = None
+        if skey is not None:
+            from vimz_tpu.utils.cache import disk_load
+
+            cached = disk_load(("ellpack-v1", skey))
+        if cached is None:
+            # which wires are 0/1-valued (bit decompositions, booleans): the
+            # commitment layer uses this for its masked tree-sum fast path
+            self.bit_mask = np.zeros(r1cs.n_wires, dtype=bool)
+            for op in r1cs.tape:
+                if op.kind == "bits":
+                    self.bit_mask[op.out : op.out + op.n_out] = True
+                elif op.kind == "iszero":
+                    self.bit_mask[op.out + 1] = True
+            host = {
+                name: self._pack_host(rows)
+                for name, rows in (
+                    ("A", r1cs.a_rows), ("B", r1cs.b_rows), ("C", r1cs.c_rows)
+                )
+            }
+            if skey is not None:
+                from vimz_tpu.utils.cache import disk_save
+
+                disk_save(
+                    ("ellpack-v1", skey),
+                    {"mats": host, "bit_mask": self.bit_mask},
+                )
+        else:
+            host = cached["mats"]
+            self.bit_mask = cached["bit_mask"]
         # Packed matrices are split into (device arrays, static shape meta):
         # the arrays are passed to the jitted kernels as ARGUMENTS, never as
         # closed-over constants — XLA constant-folds / lays out embedded
         # constants during compilation, and the ~40 MB coefficient tables
         # made jit(cross_term) take >10 minutes to compile per batch shape.
-        self.mats = {
-            name: self._pack(rows)
-            for name, rows in (("A", r1cs.a_rows), ("B", r1cs.b_rows), ("C", r1cs.c_rows))
-        }
+        self.mats = {name: self._to_device(pack) for name, pack in host.items()}
         # kept for the lazily-built transpose packs (compression SNARK)
         self._rows_src = {"A": r1cs.a_rows, "B": r1cs.b_rows, "C": r1cs.c_rows}
         self._t_pack_A = self._t_pack_B = self._t_pack_C = None
 
+    @staticmethod
+    def _to_device(pack):
+        buckets, ms = pack
+        return (
+            tuple({k: jnp.asarray(v) for k, v in b.items()} for b in buckets),
+            ms,
+        )
+
     def _pack(self, rows: list[dict]):
+        return self._to_device(self._pack_host(rows))
+
+    def _pack_host(self, rows: list[dict]):
         """Bucket rows by LC width, pad each bucket to whole blocks.
 
         Returns (arrays, ms): `arrays` is a tuple of per-bucket dicts of
-        device arrays (a jit-able pytree, passed as kernel arguments) and
-        `ms` the matching tuple of real row counts (static metadata)."""
+        HOST numpy arrays (picklable; `_to_device` uploads them and the
+        jitted kernels take them as arguments) and `ms` the matching tuple
+        of real row counts (static metadata)."""
         buckets = []
         ms = []
         order = sorted(range(len(rows)), key=lambda i: len(rows[i]))
@@ -124,9 +160,11 @@ class DeviceR1CS:
             nb = mp // blk
             buckets.append(
                 dict(
-                    rows=jnp.asarray(np.asarray(sel, dtype=np.int32)),
-                    idx=jnp.asarray(idx.reshape(nb, blk, K)),
-                    coeff=jnp.asarray(coeff_limbs.reshape(nb, blk, K, 16)),
+                    rows=np.asarray(sel, dtype=np.int32),
+                    idx=idx.reshape(nb, blk, K),
+                    coeff=np.asarray(coeff_limbs, dtype=np.uint32).reshape(
+                        nb, blk, K, 16
+                    ),
                 )
             )
             ms.append(m)
