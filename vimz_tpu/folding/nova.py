@@ -1105,6 +1105,17 @@ class FoldingVerifier(_FoldCore):
         return False
 
     def verify(self, proof: FoldProof, z0: list[int], zn: list[int]) -> bool:
+        import time as _time
+
+        from vimz_tpu.utils.tracing import log as _vlog
+
+        _tm = [_time.perf_counter()]
+
+        def _mark(name):
+            now = _time.perf_counter()
+            _vlog(f"verify/{name}: {now - _tm[0]:.2f}s")
+            _tm[0] = now
+
         f, d = self.f, self.d
         S = proof.steps
         Sp = _pow2(S)
@@ -1147,6 +1158,7 @@ class FoldingVerifier(_FoldCore):
         for i in range(S - 1):
             if list(x_real[i, sl_len:]) != list(x_real[i + 1, :sl_len]):
                 return self._fail("state chaining")
+        _mark("validate")
 
         # 2) recompute the fold tree transcript: leaf digests, then one
         # batched challenge chain per level (a node's challenge IS its
@@ -1162,6 +1174,7 @@ class FoldingVerifier(_FoldCore):
         digests = instance_digests_batch(
             [1] * S, x_rows[:S], proof.leaf_comm_w, [None] * S
         ) + [zd] * (Sp - S)
+        _mark("leaf_digests")
 
         active = S
         m = Sp
@@ -1223,12 +1236,14 @@ class FoldingVerifier(_FoldCore):
             return self._fail("tree not reduced to one root")
         if proof.u_final != u_host[0]:
             return self._fail("u_final mismatch")
+        _mark("tree_walk")
 
         # Final commitments: two host mini-MSMs over the leaf and
         # cross-term points with the tree-derived challenge products.
         cw_root, ce_root = self._derive_final_comms(
             proof.leaf_comm_w, proof.node_comm_t, cw_maps[0], ce_maps[0]
         )
+        _mark("derive_comms")
 
         if compressed:
             # 3') compression SNARK over the tree-derived final instance
@@ -1247,6 +1262,7 @@ class FoldingVerifier(_FoldCore):
             return self._fail("blind range")
         w_std = jnp.asarray(f.to_limbs(proof.w_final))
         e_std = jnp.asarray(f.to_limbs(proof.e_final))
+        _mark("we_to_limbs")
         ref = self.curve.ref
         # Openings reuse the prover's engines/tables, but ALWAYS as
         # full-scalar MSMs: the FOLDED witness is a random linear
@@ -1285,6 +1301,7 @@ class FoldingVerifier(_FoldCore):
             return self._fail("comm_w opening mismatch")
         if ce_exp != ce_root:
             return self._fail("comm_e opening mismatch")
+        _mark("openings")
 
         # 4) relaxed R1CS satisfaction of the final instance
         z_full = np.concatenate(
@@ -1294,4 +1311,6 @@ class FoldingVerifier(_FoldCore):
         u_mont = jnp.asarray(f.to_limbs_mont(np.array(u_host[0], dtype=object)))
         e_mont = f.to_mont_j(jnp.asarray(e_std))
         res = d.residual(z_mont, u_mont, e_mont)
-        return bool(np.all(np.asarray(f.is_zero(res))))
+        out = bool(np.all(np.asarray(f.is_zero(res))))
+        _mark("residual")
+        return out
